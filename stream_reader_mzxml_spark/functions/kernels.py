@@ -1,0 +1,239 @@
+"""Vectorized array kernels — the engine's UDF layer (SURVEY.md §2.10).
+
+Per the input_hint, ALL token-array manipulation goes through Arrow-batched
+pandas UDFs — never per-row Python ``udf()``. Each kernel has a pure-NumPy
+core (``_seg_*`` / ``decode_packed_pairs``) operating on a flattened
+(values, lengths) segmented representation — O(batch) numpy, no Python loop
+over rows — plus a thin ``pandas_udf`` wrapper.
+
+The segmented-flatten trick: a Series of variable-length arrays is concatenated
+into one flat vector plus a lengths vector; per-row reductions become
+``np.minimum.reduceat`` / boolean-mask + first-occurrence-per-segment ops.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# segmented-representation helpers
+# ---------------------------------------------------------------------------
+
+
+def _flatten(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Series of arrays → (flat values, lengths, null row mask)."""
+    isnull = series.isna().to_numpy()
+    lens = np.array(
+        [0 if n else len(a) for a, n in zip(series, isnull)], dtype=np.int64
+    )
+    parts = [np.asarray(a) for a, n in zip(series, isnull) if not n and len(a)]
+    flat = np.concatenate(parts) if parts else np.array([], dtype=np.float64)
+    return flat, lens, isnull
+
+
+def _segment_starts(lens: np.ndarray) -> np.ndarray:
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return starts
+
+
+def seg_nearest(
+    flat: np.ndarray, lens: np.ndarray, probes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment nearest value to its probe: (index, value) per segment.
+
+    The as-of/argmin kernel (J1): reference ``findClosestValueMz(mz) =
+    peaks.minBy(abs(peak.mz - mz))`` — Spectrum.scala:39-41. Scala ``minBy``
+    takes the FIRST minimum in order; reproduced via first-occurrence-per-
+    segment tie-break. Fully vectorized (no per-row Python loop).
+    """
+    n = len(lens)
+    idx_out = np.full(n, -1, dtype=np.int64)
+    val_out = np.full(n, np.nan, dtype=np.float64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return idx_out, val_out
+    starts = _segment_starts(lens)
+    row_of = np.repeat(np.arange(n), lens)
+    absdiff = np.abs(flat - probes[row_of])
+    seg_min = np.minimum.reduceat(absdiff, starts[nonempty])
+    # broadcast each segment's min back over its positions
+    min_of_pos = np.empty(len(flat), dtype=np.float64)
+    seg_min_full = np.full(n, np.inf)
+    seg_min_full[nonempty] = seg_min
+    min_of_pos = seg_min_full[row_of]
+    hit = absdiff == min_of_pos
+    rows_hit, first_pos = np.unique(row_of[hit], return_index=True)
+    pos = np.flatnonzero(hit)[first_pos]
+    idx_out[rows_hit] = pos - starts[rows_hit]
+    val_out[rows_hit] = flat[pos]
+    return idx_out, val_out
+
+
+def seg_band_score(
+    flat: np.ndarray, lens: np.ndarray, refs: np.ndarray, tol: float
+) -> np.ndarray:
+    """Per-segment count of reference values matched within ``tol`` (A10/J2).
+
+    Reference: ``scoreNeutralLoss``/``scoreDaughterIons`` — count of entries in
+    a reference list having at least one array element within a tolerance
+    (IonEligibleGlucosinolate.scala:42-59, libCandidateIons.sc:53-70).
+    Vectorized as a (flat × refs) distance matrix chunked by segment via
+    reduceat on the per-ref min.
+    """
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    if len(flat) == 0 or len(refs) == 0:
+        return out
+    starts = _segment_starts(lens)
+    nonempty = lens > 0
+    # (len(flat), len(refs)) bool — OK for batch sizes ≤ ~10k rows × small ref
+    hit = np.abs(flat[:, None] - refs[None, :]) < tol
+    # any() per segment per ref: max.reduceat over the flat axis
+    seg_any = np.maximum.reduceat(hit.astype(np.int8), starts[nonempty], axis=0)
+    out[nonempty] = seg_any.sum(axis=1)
+    return out
+
+
+def seg_pairwise_diffs(
+    flat: np.ndarray, lens: np.ndarray, max_len: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment all-pairs differences a_i - a_j, i != j (J4).
+
+    Reference: MainDistributionDiffMzIons.scala:72-93 — for each peak of
+    interest × every other peak in the same spectrum, emit the difference.
+    Returns (flat diffs, diff counts per segment). O(Σ len²) by nature — the
+    skew hotspot; at scale this runs inside an Arrow batch so the quadratic
+    blowup stays within one task and never shuffles un-aggregated.
+    """
+    n = len(lens)
+    counts = lens * (lens - 1)
+    total = int(counts.sum())
+    out = np.empty(total, dtype=flat.dtype if len(flat) else np.float64)
+    starts = _segment_starts(lens)
+    w = 0
+    for s, ln in zip(starts, lens):  # per-row loop, but O(len²) numpy inside
+        if ln < 2:
+            continue
+        seg = flat[s : s + ln]
+        d = np.subtract.outer(seg, seg)
+        mask = ~np.eye(ln, dtype=bool)
+        cnt = ln * (ln - 1)
+        out[w : w + cnt] = d[mask]
+        w += cnt
+    return out[:w], counts
+
+
+# ---------------------------------------------------------------------------
+# packed-array decode (S7/S8) — pure function + pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def decode_packed_pairs(
+    b64: str, precision: int = 32, compressed: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """base64 → (zlib inflate) → big-endian f32/f64 → de-interleave → drop zeros.
+
+    The reference's single per-record heavy kernel (MzXMLTags.scala:297-327):
+    base64 text (:304-305), optional zlib inflate (:284-295), BE float32/64
+    branches (:310-325), even indices = m/z, odd = intensity (:315-316,322-323),
+    zero-intensity pairs dropped (:326). NumPy ``frombuffer`` + reshape replaces
+    the reference's byte loop.
+    """
+    raw = base64.b64decode(b64)
+    if compressed:
+        raw = zlib.decompress(raw)
+    dt = ">f4" if precision == 32 else ">f8"
+    arr = np.frombuffer(raw, dtype=dt).astype(np.float64).reshape(-1, 2)
+    keep = arr[:, 1] > 0  # zero-intensity pruning at decode (MzXMLTags.scala:326)
+    return arr[keep, 0], arr[keep, 1]
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("mz", T.ArrayType(T.DoubleType())),
+        T.StructField("intensity", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@F.pandas_udf(_DECODE_SCHEMA)
+def decode_peaks_udf(
+    b64: pd.Series, precision: pd.Series, compressed: pd.Series
+) -> pd.DataFrame:
+    """Arrow-batched wrapper of :func:`decode_packed_pairs` (S7/S8)."""
+    mzs, ints = [], []
+    for s, p, c in zip(b64, precision, compressed):
+        if s is None or (isinstance(s, float) and pd.isna(s)):
+            mzs.append(None)
+            ints.append(None)
+            continue
+        m, i = decode_packed_pairs(s, int(p), bool(c))
+        mzs.append(m)
+        ints.append(i)
+    return pd.DataFrame({"mz": mzs, "intensity": ints})
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers over the segmented kernels
+# ---------------------------------------------------------------------------
+
+_NEAREST_SCHEMA = T.StructType(
+    [
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_NEAREST_SCHEMA)
+def nearest_value_udf(arrays: pd.Series, probes: pd.Series) -> pd.DataFrame:
+    """J1 as-of kernel: per row, the array element nearest to the probe."""
+    flat, lens, isnull = _flatten(arrays)
+    probe_np = probes.to_numpy(dtype=np.float64, na_value=np.nan)
+    idx, val = seg_nearest(flat.astype(np.float64), lens, probe_np)
+    idx_o = pd.array(
+        [None if (n or i < 0) else int(i) for i, n in zip(idx, isnull)],
+        dtype="Int32",
+    )
+    val_o = [None if (n or not np.isfinite(v)) else float(v) for v, n in zip(val, isnull)]
+    return pd.DataFrame({"idx": idx_o, "value": val_o})
+
+
+def make_band_score_udf(refs: list[float], tol: float):
+    """A10/J2: count of ``refs`` entries with an array element within ``tol``.
+
+    ``refs`` is a plan-time constant (the reference lists are small chemical
+    tables, e.g. IonEligibleGlucosinolate.scala:16-28) — captured in the
+    closure, shipped once per task via pickle, matrix-broadcast in numpy.
+    """
+    refs_np = np.asarray(refs, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def band_score(arrays: pd.Series) -> pd.Series:
+        flat, lens, isnull = _flatten(arrays)
+        out = seg_band_score(flat.astype(np.float64), lens, refs_np, tol)
+        return pd.Series(np.where(isnull, None, out), dtype="Int32")
+
+    return band_score
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def pairwise_diffs_udf(arrays: pd.Series) -> pd.Series:
+    """J4 kernel: per row, all pairwise differences (i != j), as a flat array."""
+    flat, lens, isnull = _flatten(arrays)
+    diffs, counts = seg_pairwise_diffs(flat.astype(np.float64), lens)
+    out, w = [], 0
+    for c, n in zip(counts, isnull):
+        if n:
+            out.append(None)
+        else:
+            out.append(diffs[w : w + c])
+            w += int(c)
+    return pd.Series(out)

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+One place to pin every config that matters for correctness and scale:
+
+- ``spark.sql.session.timeZone=UTC`` — oracle (DuckDB) timestamps are UTC-naive.
+- Arrow on — every array kernel is a vectorized pandas UDF (input_hint: never
+  per-row Python).
+- AQE on (incl. skew join) — runtime re-planning; explicit salting is still used
+  for streaming stateful aggs where AQE cannot help (SURVEY.md §4).
+- ``spark.sql.shuffle.partitions`` defaults to the core count, not 200 — on a
+  real cluster this is set per-deploy (≈2-3× total cores); locally 200 partitions
+  over tiny data is pure scheduling overhead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "stream_reader_mzxml_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,75 @@
+"""Datagen invariants — the FIXTURES.md §4 goldens carried from the reference tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from stream_reader_mzxml_spark.datagen import (
+    HOT_SOURCE,
+    SOURCES,
+    generate_sequences,
+)
+
+
+def test_deterministic():
+    a = generate_sequences(500, seed=42)
+    b = generate_sequences(500, seed=42)
+    assert a.equals(b)
+    c = generate_sequences(500, seed=43)
+    assert not a.equals(c)
+
+
+def test_size_matches_n_tok():
+    """size(tokens) == n_tok for every non-null row (MzXMLTagsTest.scala:254 analog)."""
+    t = generate_sequences(1000, seed=42)
+    tokens = t.column("tokens")
+    n_tok = t.column("n_tok").to_numpy()
+    for i in range(t.num_rows):
+        v = tokens[i]
+        if v.is_valid:
+            assert len(v) == n_tok[i]
+
+
+def test_hot_source_skew():
+    t = generate_sequences(5000, seed=42)
+    src = t.column("source").to_pylist()
+    share = src.count(HOT_SOURCE) / len(src)
+    assert 0.3 < share < 0.5  # ~40% hot key
+
+
+def test_event_time_monotone_per_source_bounded_disorder():
+    t = generate_sequences(3000, seed=42)
+    src = np.array(t.column("source").to_pylist())
+    et = t.column("event_time").cast("int64").to_numpy() // 1_000_000
+    for s in SOURCES:
+        times = et[src == s]
+        assert (np.diff(times) >= 0).all(), f"non-monotone within {s}"
+    # cross-source disorder bounded by 10 s
+    assert (et[:-1] - et[1:]).max() <= 10
+
+
+def test_precursor_ref_within_2s():
+    t = generate_sequences(2000, seed=42)
+    doc = t.column("doc_id").to_pylist()
+    et = dict(zip(doc, t.column("event_time").cast("int64").to_numpy() // 1_000_000))
+    src = t.column("source").to_pylist()
+    refs = t.column("precursor_ref").to_pylist()
+    n_refs = 0
+    for d, s, r in zip(doc, src, refs):
+        if r is not None:
+            assert s.startswith("ms2-")
+            assert r.startswith("ms1-")
+            assert abs(et[d] - et[r]) <= 2
+            n_refs += 1
+    assert n_refs > 100  # joins have real work
+
+
+def test_write_slices_roundtrip(tmp_path):
+    from stream_reader_mzxml_spark.datagen import write_sequences
+
+    p = write_sequences(str(tmp_path / "seq"), 250, seed=42, rows_per_file=100)
+    t = pq.read_table(p)
+    assert t.num_rows == 250
+    full = generate_sequences(250, seed=42)
+    assert t.equals(full)
