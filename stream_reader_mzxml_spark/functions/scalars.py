@@ -47,15 +47,14 @@ def iso_duration_seconds(col: Column) -> Column:
 
     Event-time granularity of the whole engine is therefore 1 second.
     """
-    h = F.coalesce(
-        F.regexp_extract(col, r"(\d+(?:\.\d+)?)H", 1).cast("double"), F.lit(0.0)
-    )
-    m = F.coalesce(
-        F.regexp_extract(col, r"(\d+(?:\.\d+)?)M", 1).cast("double"), F.lit(0.0)
-    )
-    s = F.coalesce(
-        F.regexp_extract(col, r"(\d+(?:\.\d+)?)S", 1).cast("double"), F.lit(0.0)
-    )
+    def _num(unit: str) -> Column:
+        # regexp_extract yields '' on no-match; '' would fail the ANSI cast —
+        # nullif makes it NULL, coalesce restores the 0 default (fail-soft,
+        # like the reference's Option semantics)
+        raw = F.regexp_extract(col, rf"(\d+(?:\.\d+)?){unit}", 1)
+        return F.coalesce(F.nullif(raw, F.lit("")).cast("double"), F.lit(0.0))
+
+    h, m, s = _num("H"), _num("M"), _num("S")
     total = h * 3600 + m * 60 + s
     sign = F.when(col.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
     return (sign * total).cast("long")

@@ -104,7 +104,7 @@ def asof_nearest_join(
     value_on: str,
     tol: float,
     probe_key: str,
-    order_tiebreak: str | None = None,
+    order_tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """J1 across rows — for each probe row, the nearest value row within tol.
 
@@ -119,7 +119,8 @@ def asof_nearest_join(
     delta = F.abs(F.col(probe_on) - F.col(value_on))
     order = [delta.asc()]
     if order_tiebreak is not None:
-        order.append(F.col(order_tiebreak).asc())
+        cols = [order_tiebreak] if isinstance(order_tiebreak, str) else order_tiebreak
+        order.extend(F.col(c).asc() for c in cols)
     w = Window.partitionBy(probe_key).orderBy(*order)
     return (
         cand.withColumn("__rn", F.row_number().over(w))
@@ -146,27 +147,23 @@ def interval_join(
     condition rides a hash join instead of a cartesian. Streaming form (true
     stream-stream with watermarked state) lives in streaming/stateful.py.
     """
-    tol = float(delta_seconds) + 1e-9  # inclusive bounds: |dt| <= delta
-    lsec = F.col(left_time).cast("double")
-    rsec = F.col(right_time).cast("double")
-    l2 = left.withColumn("__t_bucket", F.floor(lsec / F.lit(tol)).cast("long"))
-    r2 = right.withColumn(
-        "__t_bucket",
-        F.explode(
-            F.array(
-                F.floor(rsec / F.lit(tol)).cast("long") - 1,
-                F.floor(rsec / F.lit(tol)).cast("long"),
-                F.floor(rsec / F.lit(tol)).cast("long") + 1,
-            )
-        ),
-    )
+    # microsecond integer arithmetic: exact, and NTZ-safe (cast through
+    # session-TZ timestamp — UTC by session contract, so NTZ → LTZ is identity)
+    delta_us = int(round(float(delta_seconds) * 1_000_000))
+    lus = F.unix_micros(F.col(left_time).cast("timestamp"))
+    rus = F.unix_micros(F.col(right_time).cast("timestamp"))
+    bucket = delta_us if delta_us > 0 else 1
+    l2 = left.withColumn("__t_bucket", F.floor(lus / F.lit(bucket)).cast("long"))
+    rb = F.floor(rus / F.lit(bucket)).cast("long")
+    r2 = right.withColumn("__t_bucket", F.explode(F.array(rb - 1, rb, rb + 1)))
     if broadcast_right:
         r2 = F.broadcast(r2)
     cond = (l2["__t_bucket"] == r2["__t_bucket"]) & (
         F.abs(
-            l2[left_time].cast("double") - r2[right_time].cast("double")
+            F.unix_micros(l2[left_time].cast("timestamp"))
+            - F.unix_micros(r2[right_time].cast("timestamp"))
         )
-        <= F.lit(float(delta_seconds))
+        <= F.lit(delta_us)
     )
     if value_cond is not None:
         cond = cond & value_cond
