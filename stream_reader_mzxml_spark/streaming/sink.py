@@ -1,0 +1,126 @@
+"""Exactly-once checkpointed sink + per-partition lineage/metrics (M7).
+
+The reference has no exactly-once story (output file overwritten per run,
+Main.scala:97-98) and its only "index" is the byte-offset table per scan
+(MzXMLTags.scala:455-471). Here:
+
+- **exactly-once**: ``foreachBatch`` writes each micro-batch to a
+  ``batch_id=N`` directory idempotently — a replayed batch (after failure
+  between write and checkpoint commit) overwrites the same directory, so the
+  (checkpoint offsets × batch-id-keyed writes) pair gives end-to-end
+  exactly-once on top of the at-least-once foreachBatch contract. With an
+  Iceberg catalog the same contract is the sink's native commit; parquet +
+  batch-id directories is the sandbox-testable equivalent.
+
+- **lineage/metrics**: per micro-batch, a (batch_id, partition_id, n_rows,
+  n_tokens, min_doc_id, max_doc_id) table — the graft's replacement of the
+  reference's per-scan offset index: enough to audit which partition of which
+  batch carried which doc_id range, and resumable from checkpoint.
+
+At scale: the lineage aggregation groups on ``spark_partition_id()`` — a
+map-side-only shuffle of one row per partition, negligible vs the data write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "batch_id long, partition_id int, n_rows long, n_tokens long, "
+    "min_doc_id string, max_doc_id string"
+)
+
+
+def _batch_writer(out_dir: str, lineage_dir: str, token_col: str | None):
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(lineage_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        marker = os.path.join(target, "_COMMITTED")
+        if os.path.exists(marker):
+            return  # replayed batch already fully committed — idempotent skip
+
+        batch_df = batch_df.withColumn("__pid", F.spark_partition_id())
+        batch_df.persist()
+        try:
+            n_tok_expr = (
+                F.sum(F.size(token_col)).alias("n_tokens")
+                if token_col
+                else F.lit(0).cast("long").alias("n_tokens")
+            )
+            lineage = (
+                batch_df.groupBy(F.col("__pid").alias("partition_id"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    n_tok_expr,
+                    F.min("doc_id").alias("min_doc_id"),
+                    F.max("doc_id").alias("max_doc_id"),
+                )
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .select(
+                    "batch_id",
+                    "partition_id",
+                    "n_rows",
+                    "n_tokens",
+                    "min_doc_id",
+                    "max_doc_id",
+                )
+            )
+            batch_df.drop("__pid").write.mode("overwrite").parquet(target)
+            lineage.write.mode("overwrite").parquet(
+                os.path.join(lineage_dir, f"batch_id={batch_id}")
+            )
+            with open(marker, "w") as fh:
+                json.dump({"batch_id": batch_id}, fh)
+        finally:
+            batch_df.unpersist()
+
+    return write_batch
+
+
+def start_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    lineage_dir: str | None = None,
+    token_col: str | None = "tokens",
+    trigger: dict | None = None,
+    output_mode: str = "append",
+):
+    """Start the checkpointed exactly-once query. Returns the StreamingQuery.
+
+    ``trigger`` defaults to ``availableNow`` (drain all pending input then
+    stop — the batch-driver mode used by tests and bench)."""
+    lineage_dir = lineage_dir or os.path.join(out_dir, "_lineage")
+    writer = stream_df.writeStream.outputMode(output_mode).foreachBatch(
+        _batch_writer(out_dir, lineage_dir, token_col)
+    )
+    writer = writer.option("checkpointLocation", checkpoint_dir)
+    trigger = trigger if trigger is not None else {"availableNow": True}
+    writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_output(spark, out_dir: str) -> DataFrame:
+    """Read back everything committed by the exactly-once sink."""
+    import glob
+
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(out_dir, "batch_id=*"))
+        if os.path.exists(os.path.join(d, "_COMMITTED"))
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {out_dir}")
+    return spark.read.option("basePath", out_dir).parquet(*dirs)
+
+
+def read_lineage(spark, lineage_dir: str) -> DataFrame:
+    return spark.read.schema(LINEAGE_SCHEMA).option("basePath", lineage_dir).parquet(
+        os.path.join(lineage_dir, "batch_id=*")
+    )

@@ -1,0 +1,198 @@
+"""Streaming e2e tests (SURVEY.md §5 plan (c)/(d)): micro-batch pipelines over
+the fixture table, row-for-row equality vs batch oracles under the same
+watermark, and the exactly-once kill/resume contract."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.sources import read_sequences, read_sequences_stream
+from stream_reader_mzxml_spark.streaming import stateful, windows
+from stream_reader_mzxml_spark.streaming.sink import (
+    read_lineage,
+    read_output,
+    start_exactly_once,
+)
+
+
+def _run_to_memory(stream_df, name: str, output_mode: str = "append"):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def _sorted_rows(df, cols):
+    return sorted([tuple(r) for r in df.select(*cols).collect()])
+
+
+@pytest.mark.spark
+class TestWindows:
+    def test_tumbling_matches_batch(self, spark, small_seq_path, tmp_path):
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=2)
+        out = windows.tumbling_token_stats(stream, "10 seconds", "30 seconds")
+        name = f"tumb_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = spark.sql(f"SELECT * FROM {name}")
+
+        batch = read_sequences(spark, small_seq_path)
+        expected = windows.tumbling_token_stats.__wrapped__(batch) if False else None
+        # batch oracle: same plan on the batch frame (watermark is a no-op in batch)
+        oracle = windows.tumbling_token_stats(batch, "10 seconds", "30 seconds")
+        # append mode only emits windows closed by the final watermark:
+        # watermark = max(event_time) - 30 s; window closed iff ws + 10 <= wm
+        max_et = batch.agg(F.max(F.unix_timestamp("event_time"))).collect()[0][0]
+        wm = max_et - 30
+        oracle = oracle.filter(F.col("ws") + 10 <= wm)
+        cols = ["ws", "source", "n_rows", "n_tokens", "sum_tokens", "min_doc_id", "max_doc_id"]
+        assert _sorted_rows(got, cols) == _sorted_rows(oracle, cols)
+        assert got.count() > 50  # real work happened
+
+    def test_session_windows_emit(self, spark, small_seq_path):
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=5)
+        out = windows.session_token_stats(stream, gap="5 seconds", watermark="30 seconds")
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = spark.sql(f"SELECT * FROM {name}")
+        # sources emit continuously (≥1 row per ~2 s), so sessions are long runs:
+        # every closed session must span > gap and hold many rows
+        rows = got.collect()
+        assert len(rows) >= 1
+        assert all(r.n_rows >= 1 for r in rows)
+        # all 16 sources, no session overlap per source
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r.source, []).append((r.session_start, r.session_end))
+        for s, spans in per_src.items():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                assert e1 <= s2, f"overlapping sessions in {s}"
+
+    def test_salted_equals_unsalted(self, spark, small_seq_path):
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=5)
+        salted = windows.salted_tumbling_token_stats(
+            stream, "10 seconds", "30 seconds", n_salts=8
+        )
+        name = f"salt_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(salted, name)
+        got = spark.sql(f"SELECT * FROM {name}")
+
+        batch = read_sequences(spark, small_seq_path)
+        plain = (
+            windows.prepare(batch, "30 seconds")
+            .groupBy(F.window("event_time", "10 seconds").alias("w"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("clean_tokens")).alias("n_tokens"),
+            )
+            .select(F.unix_timestamp("w.start").alias("ws"), "source", "n_rows", "n_tokens")
+        )
+        max_et = batch.agg(F.max(F.unix_timestamp("event_time"))).collect()[0][0]
+        plain = plain.filter(F.col("ws") + 10 <= max_et - 30)
+        cols = ["ws", "source", "n_rows", "n_tokens"]
+        # salted streaming result must be a subset-equal of closed windows
+        got_rows = _sorted_rows(got, cols)
+        exp_rows = _sorted_rows(plain, cols)
+        assert got_rows == exp_rows
+
+
+@pytest.mark.spark
+class TestStatefulJoin:
+    def _oracle_rows(self, spark, path):
+        batch = read_sequences(spark, path)
+        oracle = stateful.shard_join_batch_oracle(batch)
+        return sorted(
+            (r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds, tuple(r.clean_tokens), r.n_clean)
+            for r in oracle.collect()
+        )
+
+    def test_native_interval_join(self, spark, small_seq_path):
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=2)
+        out = stateful.interval_join_stream(stream, watermark="30 seconds")
+        name = f"nij_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = sorted(
+            (r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds, tuple(r.clean_tokens), r.n_clean)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        exp = self._oracle_rows(spark, small_seq_path)
+        assert len(exp) > 100
+        assert got == exp  # per-row token-array equality (BASELINE invariant)
+
+    def test_stateful_shard_join(self, spark, small_seq_path):
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=2)
+        out = stateful.stateful_shard_join(stream, watermark="30 seconds")
+        name = f"ssj_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = sorted(
+            (r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds, tuple(r.clean_tokens), r.n_clean)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        exp = self._oracle_rows(spark, small_seq_path)
+        assert got == exp  # same rows as the native join and the batch oracle
+
+
+@pytest.mark.spark
+class TestExactlyOnce:
+    def test_sink_complete_and_lineage(self, spark, small_seq_path, tmp_path):
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=1)
+        q = start_exactly_once(stream, out_dir, ckpt)
+        q.awaitTermination(300)
+
+        batch = read_sequences(spark, small_seq_path)
+        got = read_output(spark, out_dir)
+        assert got.count() == batch.count()
+        # row-for-row token-array equality
+        g = {r.doc_id: (None if r.tokens is None else tuple(r.tokens)) for r in got.collect()}
+        b = {r.doc_id: (None if r.tokens is None else tuple(r.tokens)) for r in batch.collect()}
+        assert g == b
+
+        lin = read_lineage(spark, os.path.join(out_dir, "_lineage"))
+        assert lin.agg(F.sum("n_rows")).collect()[0][0] == batch.count()
+        assert lin.select("batch_id").distinct().count() >= 5  # one per file
+
+    def test_kill_resume_no_dups_no_loss(self, spark, small_seq_path, tmp_path):
+        out_dir = str(tmp_path / "out2")
+        ckpt = str(tmp_path / "ckpt2")
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=1)
+        # phase 1: processingTime trigger, kill after ≥2 batches committed
+        q = start_exactly_once(
+            stream, out_dir, ckpt, trigger={"processingTime": "1 second"}
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = [
+                d
+                for d in os.listdir(out_dir)
+                if d.startswith("batch_id=")
+                and os.path.exists(os.path.join(out_dir, d, "_COMMITTED"))
+            ]
+            if len(done) >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        assert len(done) >= 2, "never committed 2 batches before kill"
+
+        # phase 2: resume from the same checkpoint, drain the rest
+        stream2 = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=1)
+        q2 = start_exactly_once(stream2, out_dir, ckpt)
+        q2.awaitTermination(300)
+
+        batch = read_sequences(spark, small_seq_path)
+        got = read_output(spark, out_dir)
+        # exactly-once: no duplicates, no losses
+        assert got.count() == batch.count()
+        assert got.select("doc_id").distinct().count() == batch.count()
