@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md measurement protocol).
+
+Default mode: run the headline batch queries at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, plus the
+streaming suite (tumbling windowed agg + stateful shard join over the
+deterministic synthetic sequences table) and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "tokens_per_sec": ..., "streaming": {...}}
+
+``--scaling`` mode: run the identical streaming job at two parallelism levels
+(local[8] and local[32] by default — the sandbox evidence for the north_rule's
+N→4N cluster-size criterion) and report throughput at both plus the scaling
+efficiency; results also land in ``BENCH/BASELINE.md`` via ``tools/``.
+
+All prints except the final JSON line go to stderr so the driver's
+one-line-JSON parse stays clean.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+# Headline batch queries: one per operator family (agg, quantize+topk,
+# threshold histogram, band join, as-of join, interval join, pairwise kernel,
+# sessionize, ranking window, salted agg) — SURVEY.md §2 coverage.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_occurrence_topk",
+    "q04_threshold_histogram",
+    "q06_band_semi_join",
+    "q07_asof_nearest",
+    "q08_interval_join",
+    "q09_pairwise_diff_topk",
+    "q10_sessionize",
+    "q13_topk_per_group",
+    "q16_salted_count",
+]
+
+# streaming suite sizing: rows scale with sf (sf0.1 → 200k rows ≈ 14M tokens)
+SEQ_ROWS_PER_SF = 2_000_000
+SEQ_SEED = 42
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_sequences(n_rows: int, seed: int = SEQ_SEED) -> tuple[str, int]:
+    """Generate (once, cached) the deterministic sequences table; return
+    (path, total_clean_tokens). Token count comes from the generated arrays
+    themselves — the BASELINE.md protocol counts processed tokens, not input
+    estimates."""
+    import pyarrow.parquet as pq
+
+    from stream_reader_mzxml_spark.datagen import write_sequences
+
+    path = os.path.join(CACHE_DIR, f"bench_seq_{n_rows}_{seed}")
+    meta = os.path.join(path, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)["clean_tokens"]
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    # files sized for ~16 micro-batches at maxFilesPerTrigger=2
+    write_sequences(path, n_rows, seed=seed, rows_per_file=max(5_000, n_rows // 32))
+    total = 0
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(path, fn), columns=["tokens"])
+        col = t.column("tokens").combine_chunks()
+        for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+            import numpy as np
+
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            total += int((flat != 0).sum())
+    with open(meta, "w") as f:
+        json.dump({"clean_tokens": total, "n_rows": n_rows, "seed": seed}, f)
+    return path, total
+
+
+def run_batch_suite(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        # noop write executes the full plan distributed, no driver collect
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        log(f"  {name}: {times[name]:.2f}s")
+    return times
+
+
+def run_streaming_suite(spark, seq_path: str, total_tokens: int) -> dict:
+    """The north-rule suite: watermarked tumbling windowed agg (salted
+    two-phase) + stateful shard join, rate-limited micro-batches, exactly-once
+    file-source offsets. Returns wall seconds + tokens/sec."""
+    from stream_reader_mzxml_spark.sources.readers import read_sequences_stream
+    from stream_reader_mzxml_spark.streaming.stateful import stateful_shard_join
+    from stream_reader_mzxml_spark.streaming.windows import salted_tumbling_token_stats
+
+    out = {}
+    for label, builder in (
+        ("windowed_agg", lambda s: salted_tumbling_token_stats(s)),
+        ("stateful_join", lambda s: stateful_shard_join(s)),
+    ):
+        ckpt = tempfile.mkdtemp(prefix=f"bench_ckpt_{label}_")
+        stream = read_sequences_stream(spark, seq_path, max_files_per_trigger=2)
+        t0 = time.perf_counter()
+        q = (
+            builder(stream)
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_batches = len(q.recentProgress)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        out[label] = {
+            "sec": round(wall, 3),
+            "tokens_per_sec": round(total_tokens / wall, 1),
+            "micro_batches": n_batches,
+        }
+        log(f"  streaming {label}: {wall:.2f}s, {out[label]['tokens_per_sec']:.0f} tok/s, {n_batches} batches")
+    return out
+
+
+def bench_once(cpus: int, sf_dir: str, streaming_only: bool = False) -> dict:
+    from stream_reader_mzxml_spark.session import get_spark
+
+    sf = sf_of(sf_dir)
+    n_rows = max(20_000, int(SEQ_ROWS_PER_SF * sf))
+    seq_path, total_tokens = ensure_sequences(n_rows)
+    log(f"[bench] cpus={cpus} sf={sf} seq_rows={n_rows} clean_tokens={total_tokens}")
+
+    spark = get_spark(app_name=f"bench_c{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    try:
+        queries = {} if streaming_only else run_batch_suite(spark, sf_dir)
+        streaming = run_streaming_suite(spark, seq_path, total_tokens)
+    finally:
+        spark.stop()
+
+    batch_total = round(sum(queries.values()), 3)
+    stream_total = round(sum(v["sec"] for v in streaming.values()), 3)
+    # headline throughput: tokens/sec over the full streaming suite
+    tokens_per_sec = round(2 * total_tokens / max(stream_total, 1e-9), 1)
+    return {
+        "metric": "suite_seconds (batch headline + streaming windowed-agg/stateful-join)",
+        "value": round(batch_total + stream_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "streaming": streaming,
+        "stream_tokens": total_tokens,
+        "tokens_per_sec": tokens_per_sec,
+    }
+
+
+def bench_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """BASELINE.md protocol: same input, fresh checkpoints, two parallelism
+    levels; efficiency = (thr_high / thr_low) / (high / low)."""
+    r_low = bench_once(low, sf_dir, streaming_only=True)
+    r_high = bench_once(high, sf_dir, streaming_only=True)
+    thr_low, thr_high = r_low["tokens_per_sec"], r_high["tokens_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "low": {"cpus": low, "tokens_per_sec": thr_low, "streaming": r_low["streaming"]},
+        "high": {"cpus": high, "tokens_per_sec": thr_high, "streaming": r_high["streaming"]},
+        "pass_ge_0.8": eff >= 0.8,
+        "queries": {},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling", action="store_true", help="run N vs 4N cores scaling evidence")
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    if args.scaling:
+        result = bench_scaling(args.sf_dir, args.low, args.high)
+    else:
+        result = bench_once(args.cpus, args.sf_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
