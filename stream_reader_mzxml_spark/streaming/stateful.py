@@ -9,11 +9,14 @@ within a ±2 s event-time interval. Two implementations:
    driven by the watermark + time bound, Catalyst handles symmetric hash join).
 
 2. ``stateful_shard_join`` — ``applyInPandasWithState`` (per north_rule): the
-   two shards of one source stream are grouped by join key; per-key state
-   buffers the ms1 row and any early ms2 rows, emitting matches as both sides
-   arrive, with ``EventTimeTimeout`` expiring state past the watermark. This
-   is the reference's "collect MS2 side then probe" (glucosinolateIons.sc:28-29)
-   re-expressed with bounded per-key state instead of a full materialization.
+   stream is keyed by the *ms1 source shard* (plus a salt on the parent doc to
+   split the hot shard), so each group holds many docs and the per-group logic
+   is a vectorized ``pd.merge`` — one Arrow batch per (shard, salt), never one
+   Python call per doc. Per-key state buffers the shard's recent ms1 rows and
+   any early-arriving ms2 rows; matches emit as both sides arrive and
+   ``EventTimeTimeout`` + inline watermark purging bound the state. This is
+   the reference's "collect MS2 side then probe" (glucosinolateIons.sc:28-29)
+   re-expressed with bounded per-shard state instead of a full materialization.
 
 Both emit the same rows for in-watermark data; the per-row token-array
 invariant is carried by ``clean_tokens`` (pad-dropped ms2 tokens — the S8
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,14 +54,15 @@ JOIN_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# state: the buffered ms1 side + early ms2 arrivals, per join key
+# state: the shard's buffered ms1 rows + early ms2 arrivals, per (shard, salt)
 STATE_SCHEMA = StructType(
     [
-        StructField("ms1_doc_id", StringType()),
-        StructField("ms1_time_us", LongType()),
+        StructField("ms1_docs", ArrayType(StringType())),
+        StructField("ms1_times_us", ArrayType(LongType())),
         StructField("ms2_docs", ArrayType(StringType())),
         StructField("ms2_times_us", ArrayType(LongType())),
         StructField("ms2_sources", ArrayType(StringType())),
+        StructField("ms2_refs", ArrayType(StringType())),
         StructField("ms2_tokens", ArrayType(ArrayType(IntegerType()))),
     ]
 )
@@ -119,96 +124,167 @@ def interval_join_stream(
     )
 
 
-def _emit_matches(ms1_doc, ms1_us, ms2_rows, delta_us):
-    out = []
-    for doc, t_us, src, toks in ms2_rows:
-        dt = t_us - ms1_us
-        if abs(dt) <= delta_us:
-            clean = [int(x) for x in (toks or []) if x != 0]
-            out.append((ms1_doc, doc, src, dt // 1_000_000, clean, len(clean)))
-    return out
+_EMPTY_STATE = ([], [], [], [], [], [], [])
+
+
+def _match_and_split(ms1: pd.DataFrame, ms2: pd.DataFrame, delta_us: int):
+    """Vectorized probe: join ms2 rows to their named ms1 parent.
+
+    Returns (emit_rows, unmatched_ms2): an ms2 row whose parent is present
+    either emits (interval holds) or is dead (interval can never hold later —
+    the parent's event time is fixed), so only parent-absent rows stay
+    buffered. One ``pd.merge`` per group per batch — no per-doc Python.
+    """
+    if len(ms2) == 0:
+        return pd.DataFrame(columns=list(ms2.columns) + ["ms1_time_us"]), ms2
+    if len(ms1) == 0:
+        return pd.DataFrame(columns=list(ms2.columns) + ["ms1_time_us"]), ms2
+    merged = ms2.merge(
+        ms1.rename(columns={"doc": "ref", "t_us": "ms1_time_us"}),
+        on="ref",
+        how="left",
+    )
+    parent_known = merged["ms1_time_us"].notna()
+    ok = parent_known & (
+        (merged["t_us"] - merged["ms1_time_us"]).abs() <= delta_us
+    )
+    return merged[ok], ms2[~parent_known.to_numpy()]
+
+
+def _clean_tokens_py(toks) -> list[int]:
+    if toks is None:
+        return []
+    arr = np.asarray(toks)
+    return arr[arr != 0].astype(int).tolist()
 
 
 def _shard_join_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-key stateful join: buffer ms1 row + early ms2 rows, emit on match.
+    """Per-(shard, salt) stateful join — vectorized over all docs of the group.
 
-    Timeout (event-time) fires once the watermark passes the key's horizon —
-    state is dropped, bounding memory (the graft requirement SURVEY §7:
-    "bound state via watermark + event-time timeout without changing emitted
-    rows for in-watermark data").
+    State holds the shard's live ms1 rows (probe side) and parent-absent ms2
+    rows (early arrivals). Both are purged by the watermark: an ms1 row older
+    than ``wm - delta`` can never match an in-watermark ms2 row again, and a
+    buffered ms2 row older than ``wm - delta`` can only be completed by an ms1
+    row that would itself be beyond-watermark late. EventTimeTimeout fires a
+    final purge once the shard goes quiet (SURVEY §7: bound state via
+    watermark + event-time timeout without changing emitted rows).
     """
     delta_us = DELTA_SECONDS * 1_000_000
+    cols = [f.name for f in JOIN_OUTPUT_SCHEMA.fields]
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    s = state.get if state.exists else _EMPTY_STATE
+    ms1 = pd.DataFrame({"doc": list(s[0]), "t_us": list(s[1])})
+    ms2 = pd.DataFrame(
+        {
+            "doc": list(s[2]),
+            "t_us": list(s[3]),
+            "src": list(s[4]),
+            "ref": list(s[5]),
+            "toks": list(s[6]),
+        }
+    )
+
     if state.hasTimedOut:
-        state.remove()
+        # purge-only invocation: no new data; drop everything the watermark
+        # has passed, keep (and re-arm) only if something may still match
+        keep1 = ms1[ms1["t_us"] >= wm_us - delta_us]
+        keep2 = ms2[ms2["t_us"] >= wm_us - delta_us]
+        if len(keep1) == 0 and len(keep2) == 0:
+            state.remove()
+        else:
+            _save(state, keep1, keep2)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000)
+        yield pd.DataFrame(columns=cols)
         return
 
-    if state.exists:
-        ms1_doc, ms1_us, b_docs, b_times, b_srcs, b_toks = state.get
-        buffered = list(zip(b_docs, b_times, b_srcs, b_toks))
-    else:
-        ms1_doc, ms1_us = None, None
-        buffered = []
+    new = pd.concat(list(pdfs), ignore_index=True)
+    # normalize to µs regardless of pandas' ns/us datetime64 resolution
+    t_us = new["event_time"].to_numpy(dtype="datetime64[us]").astype("int64")
+    is_ms1 = new["source"].str.startswith("ms1-").to_numpy()
 
-    new_ms2 = []
-    max_seen_us = 0
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            t_us = int(r.event_time.value // 1_000)  # pandas ns → us
-            max_seen_us = max(max_seen_us, t_us)
-            if str(r.source).startswith("ms1-"):
-                ms1_doc, ms1_us = r.doc_id, t_us
-            else:
-                # plain-int copies: numpy scalars don't survive the state pickle
-                toks = [int(x) for x in r.tokens] if r.tokens is not None else []
-                new_ms2.append((str(r.doc_id), t_us, str(r.source), toks))
+    new_ms1 = pd.DataFrame({"doc": new["doc_id"][is_ms1], "t_us": t_us[is_ms1]})
+    new_ms2 = pd.DataFrame(
+        {
+            "doc": new["doc_id"][~is_ms1],
+            "t_us": t_us[~is_ms1],
+            "src": new["source"][~is_ms1],
+            "ref": new["precursor_ref"][~is_ms1],
+            "toks": new["tokens"][~is_ms1],
+        }
+    )
 
-    rows = []
-    if ms1_doc is not None:
-        # ms1 (re)arrived or existed: match all buffered + new ms2
-        rows = _emit_matches(ms1_doc, ms1_us, buffered + new_ms2, delta_us)
-        buffered = []  # emitted or out-of-interval; interval rows can't match later
-    else:
-        buffered = buffered + new_ms2
+    ms1 = pd.concat([ms1, new_ms1], ignore_index=True)
+    # probe ALL pending ms2 (buffered + new) against the updated ms1 table
+    pending = pd.concat([ms2, new_ms2], ignore_index=True)
+    emit, ms2 = _match_and_split(ms1, pending, delta_us)
 
+    # watermark purge (same predicate as the timeout path)
+    ms1 = ms1[ms1["t_us"] >= wm_us - delta_us]
+    ms2 = ms2[ms2["t_us"] >= wm_us - delta_us]
+    _save(state, ms1, ms2)
+    horizon_ms = int(max(t_us.max(), wm_us // 1000) // 1000) + (DELTA_SECONDS + 1) * 1000
+    state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1000))
+
+    if len(emit) == 0:
+        yield pd.DataFrame(columns=cols)
+        return
+    clean = [_clean_tokens_py(t) for t in emit["toks"]]
+    yield pd.DataFrame(
+        {
+            "ms1_doc_id": emit["ref"].to_numpy(),
+            "ms2_doc_id": emit["doc"].to_numpy(),
+            "ms2_source": emit["src"].to_numpy(),
+            "dt_seconds": (
+                (emit["t_us"].to_numpy() - emit["ms1_time_us"].to_numpy().astype("int64"))
+                // 1_000_000
+            ),
+            "clean_tokens": clean,
+            "n_clean": [len(c) for c in clean],
+        }
+    )
+
+
+def _save(state: GroupState, ms1: pd.DataFrame, ms2: pd.DataFrame) -> None:
+    # plain-python copies: numpy scalars don't survive the state round-trip
     state.update(
         (
-            ms1_doc,
-            ms1_us,
-            [d for d, _, _, _ in buffered],
-            [t for _, t, _, _ in buffered],
-            [s for _, _, s, _ in buffered],
-            [tk for _, _, _, tk in buffered],
+            [str(d) for d in ms1["doc"]],
+            [int(t) for t in ms1["t_us"]],
+            [str(d) for d in ms2["doc"]],
+            [int(t) for t in ms2["t_us"]],
+            [str(x) for x in ms2["src"]],
+            [str(x) for x in ms2["ref"]],
+            [[int(v) for v in (t if t is not None else [])] for t in ms2["toks"]],
         )
     )
-    # expire the key once the watermark passes its horizon + delta; the
-    # timestamp must exceed the current watermark or Spark rejects it
-    horizon_ms = max(max_seen_us, ms1_us or 0) // 1000 + (DELTA_SECONDS + 1) * 1000
-    wm = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max(horizon_ms, wm + 1000))
-
-    yield pd.DataFrame(
-        rows, columns=[f.name for f in JOIN_OUTPUT_SCHEMA.fields]
-    )
 
 
-def stateful_shard_join(stream: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+def stateful_shard_join(
+    stream: DataFrame, watermark: str = "30 seconds", n_salts: int = 8
+) -> DataFrame:
     """J3 via ``applyInPandasWithState``: one pass over the unified stream.
 
-    The stream is keyed by ``join_key = coalesce(precursor_ref, doc_id)`` so an
-    ms1 row and its ms2 children land in the same group; per-key state holds
-    the ms1 row and any ms2 rows that arrived first (cross-source disorder is
-    ≤ 10 s by the data contract, within the watermark).
+    Group key = (ms1 source shard, salt). The shard is the parent doc's source
+    — for ms1 rows their own ``source``, for ms2 rows the source prefix of
+    ``precursor_ref`` (doc_id layout ``{source}-{seq:09d}``) — so a parent and
+    its children always co-locate. The salt is a pure function of the parent
+    doc id, splitting the hot shard (~40 % of rows) across ``n_salts`` state
+    partitions: the explicit skew handling the north_rule requires where AQE
+    cannot help (stateful streaming).
     """
+    parent = F.coalesce("precursor_ref", "doc_id")
     keyed = (
         stream.filter(F.col("tokens").isNotNull())
         .filter(F.col("source").startswith("ms1-") | F.col("precursor_ref").isNotNull())
-        .withColumn("join_key", F.coalesce("precursor_ref", "doc_id"))
+        .withColumn("shard", F.substring_index(parent, "-", 2))
+        .withColumn("salt", F.pmod(F.hash(parent), F.lit(n_salts)))
         .withWatermark("event_time", watermark)
-        .select("join_key", "doc_id", "source", "event_time", "tokens")
+        .select("shard", "salt", "doc_id", "source", "event_time", "tokens", "precursor_ref")
     )
-    return keyed.groupBy("join_key").applyInPandasWithState(
+    return keyed.groupBy("shard", "salt").applyInPandasWithState(
         _shard_join_fn,
         outputStructType=JOIN_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
