@@ -47,6 +47,8 @@ HEADLINE = [
     "q10_sessionize",
     "q13_topk_per_group",
     "q16_salted_count",
+    "q26_minhash_lsh",
+    "q29_cosine_topk",
 ]
 
 # streaming suite sizing: rows scale with sf (sf0.1 → 200k rows ≈ 14M tokens)

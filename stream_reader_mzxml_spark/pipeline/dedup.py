@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each op at 100 TB):
+
+- **exact**: one hash-shuffle on ``md5(text)`` — Catalyst partial/final agg;
+  no text ever shuffles, only the 16-byte digest + keeper id.
+- **n-gram Jaccard**: the inverted-index self-join — explode *distinct*
+  shingle hashes, equi-join on the shingle (never a cross join), count
+  intersections per pair, union from per-doc sizes. Shuffle volume =
+  Σ shingles, and hot shingles (stop-phrases) are the skew axis — at scale,
+  frequent-shingle pruning (drop shingles with df > τ) bounds it.
+- **MinHash+LSH**: per-doc signature (k permutations, map-side only) →
+  band-bucket equi-join (b bands of r). Only docs sharing a band bucket ever
+  meet, so candidate volume is tunable via (b, r) to the target similarity.
+- **SimHash**: 32-bit signature; candidates via 8×4-bit band pigeonhole —
+  recall is *provably* 1.0 for hamming ≤ 7 (a pair differing in ≤7 bits
+  must share one of 8 disjoint 4-bit bands), so the banded plan is exactly
+  equal to the all-pairs plan the oracle runs.
+- **embedding cosine**: brute-force all-pairs here (the correctness
+  baseline); the bucketed scale path is ``similarity.lsh_ann`` — same
+  hyperplane construction, candidates only within a bucket.
+
+All hashes derive from the portable ``h32`` (md5-prefix) so the DuckDB oracle
+reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.pipeline.text import h32, words
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_K = 16  # permutations
+MINHASH_BANDS = 4  # bands of r = k/b rows
+
+
+def _minhash_perms(k: int = MINHASH_K, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation params; a odd, both < 2^20 so
+    ``a*h32 + b < 2^52`` stays BIGINT-exact in both engines."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(k):
+        a = int(rng.randint(1, 1 << 20)) | 1
+        b = int(rng.randint(0, 1 << 20))
+        out.append((a, b))
+    return out
+
+
+MINHASH_PERMS = _minhash_perms()
+
+
+def shingle_hashes(text_col, n: int = 3):
+    """Distinct word n-gram shingle hashes (h32 of 'w1|w2|w3') per doc."""
+    ws = words(text_col)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)  # guarded: only when size >= n
+    grams = F.transform(
+        idx,
+        lambda i: h32(
+            F.concat_ws(
+                "|", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest, keep min doc_id (S11-style
+    deterministic keeper). Returns (text_hash, keeper_doc_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _pair_jaccard(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(a_id, b_id, n_int, n_a, n_b) for every doc pair sharing ≥1 shingle."""
+    sh = df.select(
+        F.col("doc_id"), shingle_hashes(F.col(text_col), n).alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("n_sh"), "shingles")
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"), "s"
+    )
+    return (
+        a.join(b, ["s"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join."""
+    p = _pair_jaccard(df, text_col, n)
+    jac = F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
+    return p.select(
+        "a_id", "b_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(text_col, k: int = MINHASH_K, n: int = 3):
+    """Array<BIGINT> MinHash signature: min over shingles of (a*h+b) mod P."""
+    sh = shingle_hashes(text_col, n)
+
+    def _min_perm(a: int, b: int):
+        return F.array_min(F.transform(sh, lambda h: (h * a + b) % MINHASH_PRIME))
+
+    return F.array(*[_min_perm(a, b) for a, b in MINHASH_PERMS[:k]])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded candidate join, then estimated
+    Jaccard = matching-signature-component fraction, filtered at threshold.
+
+    The banded join is the scale path: docs meet only when one band of
+    ``r = k/bands`` components matches exactly, so shuffle volume is
+    O(docs × bands) not O(docs²)."""
+    r = k // bands
+    sig = df.select(
+        "doc_id", minhash_signature(F.col(text_col), k).alias("sig")
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.slice("sig", j * r + 1, r) for j in range(bands)])
+        ).alias("band_idx", "band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"), "band_idx", "band"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"), "band_idx", "band"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sig_a", "sig_b")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(k)
+    )
+    return cand.select(
+        "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash32(text_col):
+    """32-bit SimHash over term-frequency-weighted word h32s.
+
+    bit_j = 1 iff Σ_w tf(w) · (2·bit_j(h32(w)) − 1) ≥ 0. Computed as a pure
+    column expression: fold words into per-bit sums via aggregate over the
+    distinct-word tf map."""
+    ws = words(text_col)
+    uniq = F.array_distinct(ws)
+    # per distinct word: (h32, tf)
+    pairs = F.transform(
+        uniq,
+        lambda w: F.struct(
+            h32(w).alias("h"),
+            F.size(F.filter(ws, lambda x: x == w)).alias("tf"),
+        ),
+    )
+    def _bit_sum(j: int):
+        return F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + p["tf"] * (F.shiftright(p["h"], j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(32)]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming ≤ ``max_hamming`` (< 8).
+
+    Candidates from 8 disjoint 4-bit bands (pigeonhole: any pair with ≤7
+    differing bits shares ≥1 band) — the banded plan provably equals the
+    all-pairs plan, which is exactly what the DuckDB oracle runs."""
+    assert max_hamming < 8, "pigeonhole guarantee needs hamming < #bands"
+    sig = df.select("doc_id", simhash32(F.col(text_col)).alias("sim"))
+    banded = sig.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sim", 4 * i).bitwiseAND(F.lit(15))
+                    for i in range(8)
+                ]
+            )
+        ).alias("band_idx", "nibble"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("sim").alias("sim_a"), "band_idx", "nibble"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("sim").alias("sim_b"), "band_idx", "nibble"
+    )
+    cand = (
+        a.join(b, ["band_idx", "nibble"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sim_a", "sim_b")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("a_id", "b_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.45, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (correctness baseline).
+
+    Dot products are ordered left-folds over double-cast components so the
+    float result is bit-identical to the oracle's ordered list_sum. The
+    O(n²) join is the baseline; the bucketed scale path is
+    ``similarity.lsh_ann_topk``."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

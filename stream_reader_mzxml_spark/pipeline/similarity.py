@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns: brute-force and LSH-bucketed ANN.
+
+Brute-force cosine top-k is the correctness baseline: broadcast the (small)
+probe set against the corpus — one scan, no O(n²) shuffle — and rank with a
+per-probe window. The scale path is random-hyperplane LSH: each vector maps
+to a bucket id from the sign pattern of ``n_planes`` fixed hyperplane dot
+products; candidates are corpus vectors in the probe's bucket, so the join is
+an equi-join on ``bucket`` (shuffle keyed by bucket, tunable recall via
+``n_planes`` / multi-probe). Hyperplanes are seeded constants embedded in the
+plan — the DuckDB oracle uses the same literals, so results match exactly.
+
+Dot products are ordered left-folds (bit-identical to the oracle's ordered
+``list_sum``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 11):
+    """Deterministic hyperplane matrix, rounded to 4 decimals so the literal
+    values embedded in the Spark plan and the oracle SQL string are the same
+    short decimal text on both sides."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.standard_normal((n_planes, dim)), 4)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot_lit(vec_col, plane: np.ndarray):
+    """Ordered dot product of an array column with a literal plane."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def bucket_id(vec_col, planes: np.ndarray):
+    """LSH bucket: Σ (dot(v, plane_p) >= 0) · 2^p."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        out = out + F.when(_dot_lit(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def _cosine(va, vb, na, nb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (na * nb)
+
+
+def _with_norm(emb: DataFrame, id_col: str, out_id: str, vec: str, norm: str):
+    v = _as_double(F.col("embedding"))
+    return emb.select(
+        F.col(id_col).alias(out_id),
+        v.alias(vec),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias(norm),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_probes: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: probes = first ``n_probes`` ids (a stand-in
+    for an arbitrary probe table). Broadcast probes × scan corpus → window
+    rank per probe. Ties broken by neighbor id (deterministic)."""
+    corpus = _with_norm(emb, id_col, "n_id", "vn", "nn")
+    probes = _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
+    cand = probes.join(F.broadcast(corpus).alias("c"), F.col("p_id") != F.col("n_id"))
+    cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
+    w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("p_id", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    n_probes: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: equi-join probe and corpus on bucket id, then
+    exact cosine rank within the bucket. At corpus scale the bucket join
+    replaces the broadcast-everything of ``cosine_topk``; recall follows the
+    hyperplane count (tune ``n_planes`` down / add multi-probe for recall)."""
+    planes = hyperplanes() if planes is None else planes
+    corpus = _with_norm(emb, id_col, "n_id", "vn", "nn").withColumn(
+        "bucket", bucket_id(F.col("vn"), planes)
+    )
+    probes = _with_norm(
+        emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np"
+    ).withColumn("bucket", bucket_id(F.col("vp"), planes))
+    cand = probes.join(corpus, ["bucket"]).filter(F.col("p_id") != F.col("n_id"))
+    cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
+    w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("p_id", "bucket", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

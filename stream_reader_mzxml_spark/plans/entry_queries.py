@@ -628,3 +628,16 @@ def q19_duration_seconds(spark, sf_dir):
         dur.alias("dur"),
         iso_duration_seconds(dur).alias("seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q20-q31 — training-data pipeline battery (dedup / similarity / text /
+# multimodal) from plans.pipeline_queries
+# ---------------------------------------------------------------------------
+from stream_reader_mzxml_spark.plans.pipeline_queries import (  # noqa: E402
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)

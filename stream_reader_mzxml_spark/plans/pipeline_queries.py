@@ -1,0 +1,417 @@
+"""Training-data pipeline query battery (q20-q31) — dedup, similarity search,
+text analysis, multimodal plumbing — over the driver's ``documents`` /
+``embeddings`` tables, each with a DuckDB oracle built from the SAME
+deterministic constants (md5-prefix h32 hashes, seeded MinHash permutations,
+seeded hyperplanes), so both engines compute bit-identical results.
+
+Float parity rule: every dot product / fold is an ORDERED left fold on both
+sides — Spark ``F.aggregate`` ≡ DuckDB ``list_reduce`` with a prepended
+zero-init — so IEEE double results are bit-identical, then rounded for the
+value-hash compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.pipeline import dedup, multimodal, similarity, text
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PIPELINE_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        PIPELINE_QUERIES[name] = fn
+        if oracle is not None:
+            PIPELINE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# shared SQL fragments -------------------------------------------------------
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, length(ws) - 2),
+    i -> {_H32.format(x="ws[i] || '|' || ws[i+1] || '|' || ws[i+2]")}
+  ))
+"""
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+)
+_FOLD_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+    "(acc, x) -> acc + x))"
+)
+
+
+# ---------------------------------------------------------------------------
+# q20 — token counting (whitespace + regex word runs)
+# ---------------------------------------------------------------------------
+@_register(
+    "q20_token_counts",
+    """
+    SELECT doc_id,
+           length(regexp_extract_all(text, '\\S+'))      AS n_ws_tokens,
+           length(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+           length(text)                                  AS n_chars
+    FROM documents
+    """,
+)
+def q20_token_counts(spark, sf_dir):
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q21 — quality scoring (length / word-length / stopword-ratio features)
+# ---------------------------------------------------------------------------
+_SW_EN = ", ".join(f"'{s}'" for s in text.LANG_STOPWORDS["en"])
+
+@_register(
+    "q21_quality_scores",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             length(ws) AS n_words,
+             (nc - (length(ws) - 1)) / length(ws) AS mwl,
+             length(list_filter(ws, x -> list_contains([{_SW_EN}], x))) AS n_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_word_len,
+           n_stop AS n_stopwords,
+           round(n_stop / n_words, 6) AS stop_ratio,
+           CASE WHEN n_words < 5 THEN 0.0
+                WHEN mwl < 2.0 THEN 0.25
+                ELSE round(least(1.0, (n_stop / n_words) * 4.0) * 0.5
+                         + least(1.0, n_words / 24.0) * 0.5, 6)
+           END AS quality_score
+    FROM f
+    """,
+)
+def q21_quality_scores(spark, sf_dir):
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q22 — language-ID heuristic (stopword hit-rate argmax)
+# ---------------------------------------------------------------------------
+def _lang_sql() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    hits = ",\n           ".join(
+        f"length(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{s}'" for s in text.LANG_STOPWORDS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    maxh = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN hits_{lang} = {maxh} AND {maxh} > 0 THEN '{lang}' ELSE {pred} END"
+    cols = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id,
+           {hits}
+      FROM w
+    )
+    SELECT doc_id, {cols}, {pred} AS pred_lang FROM h
+    """
+
+
+@_register("q22_lang_id", _lang_sql())
+def q22_lang_id(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q23 — rolling-hash document fingerprint (ordered fold over word h32s)
+# ---------------------------------------------------------------------------
+@_register(
+    "q23_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(ws, t -> {_H32.format(x="t")})),
+             (acc, x) -> (acc * {text.FNV_PRIME} + x) % {text.FOLD_MOD}
+           ) AS fingerprint,
+           length(ws) AS n_words
+    FROM w
+    """,
+)
+def q23_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact dedup (content-digest groups, deterministic keeper)
+# ---------------------------------------------------------------------------
+@_register(
+    "q24_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY text_hash
+    """,
+)
+def q24_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q25 — exact n-gram Jaccard near-dup pairs (inverted-index join)
+# ---------------------------------------------------------------------------
+@_register(
+    "q25_ngram_jaccard",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    ex AS (SELECT doc_id, length(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_int
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT a_id, b_id, round(n_int / (n_a + n_b - n_int), 6) AS jaccard FROM p
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def q25_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# q26 — MinHash + LSH near-dup candidates with estimated Jaccard
+# ---------------------------------------------------------------------------
+def _minhash_sql() -> str:
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    r = k // bands
+    mins = ",\n        ".join(
+        f"list_min(list_transform(shingles, h -> (h * {a} + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in dedup.MINHASH_PERMS[:k]
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (
+      SELECT doc_id, [
+        {mins}
+      ] AS sig
+      FROM sh WHERE length(shingles) > 0
+    ),
+    banded AS (
+      SELECT doc_id, sig, g.j AS band_idx,
+             list_slice(sig, g.j * {r} + 1, g.j * {r} + {r}) AS band
+      FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS j) g
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx AND a.band = b.band
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, est_jaccard FROM (
+      SELECT a_id, b_id,
+             round(length(list_filter(generate_series(1, {k}),
+                          i -> sig_a[i] = sig_b[i])) / {k}.0, 6) AS est_jaccard
+      FROM cand
+    ) WHERE est_jaccard >= 0.5
+    """
+
+
+@_register("q26_minhash_lsh", _minhash_sql())
+def q26_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q27 — SimHash near-dup pairs (banded plan ≡ all-pairs by pigeonhole)
+# ---------------------------------------------------------------------------
+@_register(
+    "q27_simhash",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tf AS (
+      SELECT doc_id,
+             list_transform(list_distinct(ws),
+               u -> {{'h': {_H32.format(x="u")},
+                      'tf': length(list_filter(ws, x -> x = u))}}) AS pairs
+      FROM w
+    ),
+    bits AS (
+      SELECT doc_id, g.j,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(pairs, p -> p.tf * ((((p.h >> g.j) & 1) * 2) - 1))),
+               (acc, x) -> acc + x) AS s
+      FROM tf, (SELECT unnest(generate_series(0, 31)) AS j) g
+    ),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sim
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a_id, b_id, hamming FROM (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.sim, b.sim)) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 6
+    """,
+)
+def q27_simhash(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# q28 — embedding-cosine near-dup pairs (ordered-fold dot products)
+# ---------------------------------------------------------------------------
+@_register(
+    "q28_embedding_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_FOLD_NORM.format(v="v")} AS norm FROM e)
+    SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round({_FOLD_DOT.format(a="a.v", b="b.v")} / (a.norm * b.norm), 6)
+               AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.45
+    """,
+)
+def q28_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# q29 — brute-force cosine top-k (ANN correctness baseline)
+# ---------------------------------------------------------------------------
+@_register(
+    "q29_cosine_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_FOLD_NORM.format(v="v")} AS norm FROM e),
+    c AS (
+      SELECT p.vec_id AS p_id, q.vec_id AS n_id,
+             round({_FOLD_DOT.format(a="p.v", b="q.v")} / (p.norm * q.norm), 6)
+               AS cosine
+      FROM n p JOIN n q ON p.vec_id < 5 AND p.vec_id != q.vec_id
+    )
+    SELECT p_id, n_id, cosine, rank FROM (
+      SELECT p_id, n_id, cosine,
+             row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, n_id) AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """,
+)
+def q29_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), n_probes=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q30 — LSH-bucketed ANN top-k (hyperplane buckets, the scale path)
+# ---------------------------------------------------------------------------
+def _lsh_ann_sql() -> str:
+    planes = similarity.hyperplanes()
+    rows = ",\n        ".join(
+        f"({p}, [" + ", ".join(str(float(x)) for x in plane) + "])"
+        for p, plane in enumerate(planes)
+    )
+    dot_plane = _FOLD_DOT.format(a="n.v", b="pl.plane")
+    return f"""
+    WITH planes(p, plane) AS (VALUES
+        {rows}
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_FOLD_NORM.format(v="v")} AS norm FROM e),
+    bkt AS (
+      SELECT n.vec_id,
+             sum(CASE WHEN {dot_plane} >= 0 THEN (1 << pl.p) ELSE 0 END)::BIGINT
+               AS bucket
+      FROM n, planes pl GROUP BY n.vec_id
+    ),
+    nb AS (SELECT n.vec_id, n.v, n.norm, bkt.bucket
+           FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+    c AS (
+      SELECT p.vec_id AS p_id, p.bucket, q.vec_id AS n_id,
+             round({_FOLD_DOT.format(a="p.v", b="q.v")} / (p.norm * q.norm), 6)
+               AS cosine
+      FROM nb p JOIN nb q ON p.bucket = q.bucket
+      WHERE p.vec_id < 5 AND p.vec_id != q.vec_id
+    )
+    SELECT p_id, bucket, n_id, cosine, rank FROM (
+      SELECT p_id, bucket, n_id, cosine,
+             row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, n_id) AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """
+
+
+@_register("q30_lsh_ann_topk", _lsh_ann_sql())
+def q30_lsh_ann_topk(spark, sf_dir):
+    return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_probes=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q31 — multimodal plumbing: binary payload + deterministic stub featurize
+# (np.array_split chunking reproduced in SQL: first l%4 chunks get an extra
+# byte; mean byte value per chunk)
+# ---------------------------------------------------------------------------
+@_register(
+    "q31_multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS l,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ),
+    tagged AS (
+      SELECT c.doc_id, c.l, c.i,
+             ascii(substr(d.text, c.i, 1)) AS b,
+             CASE WHEN (c.i - 1) < ((c.l // 4) + 1) * (c.l % 4)
+                  THEN (c.i - 1) // ((c.l // 4) + 1)
+                  ELSE (c.l % 4) + ((c.i - 1) - ((c.l // 4) + 1) * (c.l % 4)) // (c.l // 4)
+             END AS chunk
+      FROM chars c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    chunked AS (
+      SELECT doc_id, l, chunk, round(avg(b), 6) AS m
+      FROM tagged GROUP BY doc_id, l, chunk
+    )
+    SELECT doc_id, 'text/plain' AS media_type, l AS n_bytes,
+           list(m ORDER BY chunk) AS feature
+    FROM chunked GROUP BY doc_id, l
+    """,
+)
+def q31_multimodal_features(spark, sf_dir):
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.featurize(media, decode_stub=True)

@@ -1,0 +1,235 @@
+"""Unit tests for the training-data pipeline operators (dedup / similarity /
+text / multimodal) against hand-computed NumPy/Python oracles on tiny
+deterministic fixtures — the MzXMLTagsTest golden-invariant style
+(MzXMLTagsTest.scala:230-261) applied to the pipeline layer."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.pipeline import dedup, multimodal, similarity, text
+
+
+def h32_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text with other words here now"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "short text"),
+    (5, "le chat et le chien et la maison"),  # french-ish
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.mark.spark
+class TestText:
+    def test_token_counts(self, spark, docs_df):
+        rows = {r.doc_id: r for r in text.token_counts(docs_df).collect()}
+        assert rows[0].n_ws_tokens == 9
+        assert rows[0].n_re_tokens == 9
+        assert rows[4].n_ws_tokens == 2
+        assert rows[0].n_chars == len(DOCS[0][1])
+
+    def test_fingerprint_matches_python_fold(self, spark, docs_df):
+        rows = {r.doc_id: r.fingerprint for r in text.fingerprint(docs_df).collect()}
+        for doc_id, t in DOCS:
+            fp = 0
+            for w in t.split(" "):
+                fp = (fp * text.FNV_PRIME + h32_py(w)) % text.FOLD_MOD
+            assert rows[doc_id] == fp, doc_id
+        # order sensitivity: same words reordered → different fingerprint
+        assert rows[0] != rows[1]
+
+    def test_lang_id(self, spark, docs_df):
+        rows = {r.doc_id: r.pred_lang for r in text.lang_id(docs_df).collect()}
+        assert rows[0] == "en"
+        assert rows[5] == "fr"
+        assert rows[4] == "und"  # no stopword hits
+
+    def test_quality_features(self, spark, docs_df):
+        rows = {r.doc_id: r for r in text.quality_features(docs_df).collect()}
+        assert rows[4].quality_score == 0.0  # < 5 words
+        # recompute exactly
+        ws = DOCS[0][1].split(" ")
+        n_stop = sum(1 for w in ws if w in text.LANG_STOPWORDS["en"])
+        assert rows[0].n_stopwords == n_stop
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_exact_dedup(self, spark, docs_df):
+        out = {r.text_hash: r for r in dedup.exact_dedup(docs_df).collect()}
+        h = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+        assert out[h].n_copies == 2
+        assert out[h].keeper_doc_id == 0
+        assert sum(r.n_copies for r in out.values()) == len(DOCS)
+
+    def test_ngram_jaccard_pairs(self, spark, docs_df):
+        pairs = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()
+        }
+        # exact dup pair: jaccard 1.0
+        assert pairs[(0, 3)] == 1.0
+        # near-dup (one word differs at the end): 6/8 shared 3-gram shingles
+        sh = lambda t: {
+            (a, b, c)
+            for a, b, c in zip(t.split()[:-2], t.split()[1:-1], t.split()[2:])
+        }
+        s0, s1 = sh(DOCS[0][1]), sh(DOCS[1][1])
+        expected = len(s0 & s1) / len(s0 | s1)
+        assert pairs[(0, 1)] == pytest.approx(expected, abs=1e-6)
+
+    def test_minhash_exact_dup_full_signature_match(self, spark, docs_df):
+        out = {
+            (r.a_id, r.b_id): r.est_jaccard
+            for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.0).collect()
+        }
+        assert out[(0, 3)] == 1.0  # identical docs → identical signatures
+        assert (0, 1) in out  # near-dups share at least one band
+
+    def test_minhash_signature_python_parity(self, spark, docs_df):
+        row = (
+            docs_df.filter(F.col("doc_id") == 0)
+            .select(dedup.minhash_signature(F.col("text")).alias("sig"))
+            .collect()[0]
+        )
+        ws = DOCS[0][1].split(" ")
+        shingles = {h32_py("|".join(ws[i : i + 3])) for i in range(len(ws) - 2)}
+        for got, (a, b) in zip(row.sig, dedup.MINHASH_PERMS):
+            exp = min((h * a + b) % dedup.MINHASH_PRIME for h in shingles)
+            assert got == exp
+
+    def test_simhash_identical_and_banding_recall(self, spark, docs_df):
+        sigs = {
+            r.doc_id: r.sim
+            for r in docs_df.select(
+                "doc_id", dedup.simhash32(F.col("text")).alias("sim")
+            ).collect()
+        }
+        assert sigs[0] == sigs[3]
+        got = {
+            (r.a_id, r.b_id): r.hamming
+            for r in dedup.simhash_neardup_pairs(docs_df, max_hamming=7).collect()
+        }
+        # oracle: all-pairs hamming over collected signatures
+        ids = sorted(sigs)
+        exp = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+        }
+        assert got == exp  # banded plan ≡ all-pairs plan (pigeonhole recall=1)
+
+    def test_embedding_cosine_pairs(self, spark):
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((20, 8)).astype(np.float32)
+        vecs[7] = vecs[2] * 1.5 + 0.01  # planted near-dup
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id INT, embedding ARRAY<FLOAT>",
+        )
+        got = {
+            (r.a_id, r.b_id): r.cosine
+            for r in dedup.embedding_cosine_pairs(df, threshold=0.9).collect()
+        }
+        v = vecs.astype(np.float64)
+        cos = (v @ v.T) / (
+            np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+        )
+        exp = {
+            (a, b): round(cos[a, b], 6)
+            for a in range(20)
+            for b in range(a + 1, 20)
+            if round(cos[a, b], 6) >= 0.9
+        }
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], abs=2e-6)
+
+
+@pytest.mark.spark
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_df(self, spark):
+        rng = np.random.RandomState(5)
+        vecs = rng.standard_normal((40, similarity.DIM)).astype(np.float32)
+        return (
+            spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+                "vec_id INT, embedding ARRAY<FLOAT>",
+            ),
+            vecs,
+        )
+
+    def test_cosine_topk_matches_numpy(self, spark, emb_df):
+        df, vecs = emb_df
+        got = similarity.cosine_topk(df, n_probes=3, k=5).collect()
+        v = vecs.astype(np.float64)
+        cos = (v @ v.T) / (
+            np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+        )
+        for p in range(3):
+            order = sorted(
+                (i for i in range(40) if i != p),
+                key=lambda i: (-round(cos[p, i], 6), i),
+            )[:5]
+            mine = [r.n_id for r in sorted(got, key=lambda r: r.rank) if r.p_id == p]
+            assert mine == order, p
+
+    def test_lsh_buckets_deterministic_and_ranked(self, spark, emb_df):
+        df, vecs = emb_df
+        out = similarity.lsh_ann_topk(df, n_probes=3, k=5).collect()
+        planes = similarity.hyperplanes()
+        v = vecs.astype(np.float64)
+        buckets = ((v @ planes.T) >= 0).astype(int) @ (1 << np.arange(similarity.N_PLANES))
+        for r in out:
+            assert buckets[r.p_id] == r.bucket
+            assert buckets[r.n_id] == r.bucket
+        # within each probe, ranks are 1..n with descending cosine
+        for p in range(3):
+            rows = sorted((r for r in out if r.p_id == p), key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            assert all(
+                rows[i].cosine >= rows[i + 1].cosine for i in range(len(rows) - 1)
+            )
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    def test_featurize_stub_matches_python(self, spark, docs_df):
+        media = multimodal.documents_as_media(docs_df)
+        got = {r.doc_id: r for r in multimodal.featurize(media).collect()}
+        for doc_id, t in DOCS:
+            exp = multimodal._fake_feature(t.encode())
+            assert got[doc_id].n_bytes == len(t.encode())
+            assert got[doc_id].feature == pytest.approx(exp, abs=1e-9)
+            assert got[doc_id].media_type == "text/plain"
+
+    def test_featurize_real_decode_raises(self, spark, docs_df):
+        media = multimodal.documents_as_media(docs_df)
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            multimodal.featurize(media, decode_stub=False).collect()
+
+    def test_media_schema_columns(self, spark, docs_df):
+        media = multimodal.documents_as_media(docs_df)
+        assert [f.name for f in media.schema.fields] == [
+            "doc_id",
+            "media_type",
+            "payload",
+            "meta",
+        ]
+        assert media.schema["payload"].dataType.typeName() == "binary"
