@@ -415,3 +415,85 @@ def q30_lsh_ann_topk(spark, sf_dir):
 def q31_multimodal_features(spark, sf_dir):
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.featurize(media, decode_stub=True)
+
+
+# ---------------------------------------------------------------------------
+# q32 — isotope-pattern neighbor match (the MainGlucosinolates.scala:163-191
+# processSpectrum kernel re-expressed): per record, count elements that have
+# a +delta neighbor within tol whose value ratio falls in an abundance band.
+# JVM higher-order exists/filter — no Python in the hot path.
+# ---------------------------------------------------------------------------
+_ISO_DELTA = 1.00335  # the C13-C12 mass gap (M+1 spacing)
+_ISO_TOL = 0.05
+_ISO_LO, _ISO_HI = 0.02, 0.98
+
+
+@_register(
+    "q32_isotope_match",
+    f"""
+    SELECT vec_id, n_matched, n_elems FROM (
+      SELECT vec_id,
+             length(list_filter(v, x ->
+               length(list_filter(v, y ->
+                 abs(y - (x + {_ISO_DELTA})) < {_ISO_TOL}
+                 AND y / x >= {_ISO_LO} AND y / x <= {_ISO_HI})) > 0)) AS n_matched,
+             length(v) AS n_elems
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings)
+    ) WHERE n_matched > 0
+    """,
+)
+def q32_isotope_match(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    matched = F.size(
+        F.filter(
+            v,
+            lambda x: F.exists(
+                v,
+                lambda y: (F.abs(y - (x + F.lit(_ISO_DELTA))) < F.lit(_ISO_TOL))
+                & (y / x >= F.lit(_ISO_LO))
+                & (y / x <= F.lit(_ISO_HI)),
+            ),
+        )
+    )
+    return (
+        emb.select(
+            "vec_id", matched.alias("n_matched"), F.size("embedding").alias("n_elems")
+        )
+        .filter(F.col("n_matched") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — band-score vs a broadcast reference list (A10 scoreNeutralLoss /
+# scoreDaughterIons, IonEligibleGlucosinolate.scala:42-59): count of refs
+# having at least one array element within tol — via the Arrow-vectorized
+# kernel (functions.kernels.make_band_score_udf), oracle in plain SQL.
+# ---------------------------------------------------------------------------
+_SCORE_REFS = [-1.5, -0.75, 0.0, 0.5, 1.0, 1.5, 2.25]
+_SCORE_TOL = 0.1
+
+
+@_register(
+    "q33_band_score",
+    f"""
+    SELECT vec_id, score FROM (
+      SELECT vec_id,
+             length(list_filter([{", ".join(str(r) for r in _SCORE_REFS)}], r ->
+               length(list_filter(v, x -> abs(x - r) < {_SCORE_TOL})) > 0)) AS score
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings)
+    ) WHERE score >= 3
+    """,
+)
+def q33_band_score(spark, sf_dir):
+    from stream_reader_mzxml_spark.functions.kernels import make_band_score_udf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    udf = make_band_score_udf(_SCORE_REFS, _SCORE_TOL)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select("vec_id", udf(v).cast("int").alias("score"))
+        .filter(F.col("score") >= 3)
+    )
