@@ -95,9 +95,22 @@ def start_exactly_once(
     """Start the checkpointed exactly-once query. Returns the StreamingQuery.
 
     ``trigger`` defaults to ``availableNow`` (drain all pending input then
-    stop — the batch-driver mode used by tests and bench)."""
+    stop — the batch-driver mode used by tests and bench).
+
+    A6 stream-cardinality metrics ride on ``observe()``: every micro-batch's
+    progress (``query.recentProgress[i]["observedMetrics"]["rates"]``) carries
+    row and token counts with zero extra passes — the replacement for the
+    reference's two-pass count-then-process shape
+    (MainGlucosinolates.scala:105-130)."""
     lineage_dir = lineage_dir or os.path.join(out_dir, "_lineage")
-    writer = stream_df.writeStream.outputMode(output_mode).foreachBatch(
+    observed = stream_df.observe(
+        "rates",
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.size(token_col)) if token_col else F.lit(0)
+        ).alias("n_tokens"),
+    )
+    writer = observed.writeStream.outputMode(output_mode).foreachBatch(
         _batch_writer(out_dir, lineage_dir, token_col)
     )
     writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -143,6 +143,76 @@ class TestStatefulJoin:
 
 
 @pytest.mark.spark
+class TestLateData:
+    def test_watermark_drops_late_rows(self, spark, small_seq_path):
+        """W4 — watermark-driven late-data drop. With a watermark (5 s)
+        smaller than the cross-source disorder (≤ 10 s), rows later than the
+        watermark at their arrival batch are excluded from closed windows.
+
+        Oracle: replay the per-batch watermark protocol over the files in
+        commit order (watermark after batch k = max event time seen − delay;
+        a row is dropped iff its window end ≤ watermark at its batch), then
+        aggregate the survivors in batch mode."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            os.path.join(small_seq_path, f)
+            for f in os.listdir(small_seq_path)
+            if f.endswith(".parquet")
+        )
+        delay, win = 5, 10
+        wm = None  # watermark BEFORE each batch (Spark updates after)
+        surviving = []  # (ws, source) keyed rows that stateful agg accepts
+        seen_max = None
+        for fp in files:
+            t = pq.read_table(fp, columns=["event_time", "source", "tokens"])
+            ts = [int(v.value // 1_000_000) for v in t.column("event_time")]
+            toks = t.column("tokens").to_pylist()
+            srcs = t.column("source").to_pylist()
+            batch_max = None
+            for et, src, tk in zip(ts, srcs, toks):
+                if tk is None:
+                    continue  # filtered before the watermark node in prepare()
+                batch_max = et if batch_max is None else max(batch_max, et)
+                ws = et - (et % win)
+                if wm is None or ws + win > wm:
+                    surviving.append((ws, src, sum(1 for x in tk if x != 0)))
+            if batch_max is not None:
+                seen_max = (
+                    batch_max if seen_max is None else max(seen_max, batch_max)
+                )
+            wm = None if seen_max is None else seen_max - delay
+        # windows closed by the final watermark (append-mode emission rule)
+        final_wm = seen_max - delay
+        expected = {}
+        for ws, src, ntok in surviving:
+            if ws + win <= final_wm:
+                k = (ws, src)
+                n, s = expected.get(k, (0, 0))
+                expected[k] = (n + 1, s + ntok)
+
+        stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=1)
+        out = (
+            windows.prepare(stream, f"{delay} seconds")
+            .groupBy(F.window("event_time", f"{win} seconds").alias("w"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.size("clean_tokens")).alias("n_tokens"),
+            )
+            .select(
+                F.unix_timestamp("w.start").alias("ws"), "source", "n_rows", "n_tokens"
+            )
+        )
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = {
+            (r.ws, r.source): (r.n_rows, r.n_tokens)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == expected
+
+
+@pytest.mark.spark
 class TestExactlyOnce:
     def test_sink_complete_and_lineage(self, spark, small_seq_path, tmp_path):
         out_dir = str(tmp_path / "out")
@@ -162,6 +232,14 @@ class TestExactlyOnce:
         lin = read_lineage(spark, os.path.join(out_dir, "_lineage"))
         assert lin.agg(F.sum("n_rows")).collect()[0][0] == batch.count()
         assert lin.select("batch_id").distinct().count() >= 5  # one per file
+
+        # A6 observe() metrics: per-batch row counts sum to the input size
+        obs = [
+            p["observedMetrics"]["rates"]
+            for p in q.recentProgress
+            if "rates" in p.get("observedMetrics", {})
+        ]
+        assert sum(m["n_rows"] for m in obs) == batch.count()
 
     def test_kill_resume_no_dups_no_loss(self, spark, small_seq_path, tmp_path):
         out_dir = str(tmp_path / "out2")
