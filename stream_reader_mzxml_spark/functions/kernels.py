@@ -114,6 +114,13 @@ def seg_pairwise_diffs(
     """
     n = len(lens)
     counts = lens * (lens - 1)
+    # uniform-length fast path (embeddings etc.): one 3-D broadcast, no loop
+    if n and lens.min() == lens.max() and lens[0] >= 2:
+        ln = int(lens[0])
+        block = flat.reshape(n, ln)
+        d = block[:, :, None] - block[:, None, :]  # (n, ln, ln)
+        mask = ~np.eye(ln, dtype=bool)
+        return d[:, mask].reshape(-1), counts
     total = int(counts.sum())
     out = np.empty(total, dtype=flat.dtype if len(flat) else np.float64)
     starts = _segment_starts(lens)
