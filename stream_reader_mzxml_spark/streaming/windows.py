@@ -115,6 +115,26 @@ def session_token_stats(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key within the watermark
+    horizon (the pipeline.dedup.exact_dedup analog for unbounded streams).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the first-seen event time + delay — state is O(keys per
+    horizon), not O(stream), which is what makes exact dedup feasible on an
+    unbounded 10^12-row stream. Keys default to ``doc_id`` (idempotent
+    re-ingestion guard); pass ``[md5(text)]``-style content hashes for
+    content dedup."""
+    keys = keys or ["doc_id"]
+    return stream.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def salted_tumbling_token_stats(
     stream: DataFrame,
     window: str = "10 seconds",

@@ -143,6 +143,32 @@ class TestStatefulJoin:
 
 
 @pytest.mark.spark
+class TestStreamingDedup:
+    def test_duplicates_dropped_exactly_once(self, spark, small_seq_path, tmp_path):
+        """Replay the stream UNION itself (every doc twice, same event time):
+        dedup must emit each doc_id exactly once."""
+        import shutil
+
+        dup_dir = str(tmp_path / "dup_seq")
+        os.makedirs(dup_dir)
+        files = sorted(
+            f for f in os.listdir(small_seq_path) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            shutil.copy(os.path.join(small_seq_path, f), f"{dup_dir}/a-{i:03d}.parquet")
+            shutil.copy(os.path.join(small_seq_path, f), f"{dup_dir}/b-{i:03d}.parquet")
+
+        stream = read_sequences_stream(spark, dup_dir, max_files_per_trigger=4)
+        out = windows.streaming_dedup(stream, watermark="60 seconds")
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = spark.sql(f"SELECT doc_id FROM {name}")
+        base = read_sequences(spark, small_seq_path)
+        assert got.count() == base.count()  # every doc exactly once
+        assert got.distinct().count() == base.count()
+
+
+@pytest.mark.spark
 class TestLateData:
     def test_watermark_drops_late_rows(self, spark, small_seq_path):
         """W4 — watermark-driven late-data drop. With a watermark (5 s)
