@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow.parquet as pq
+import pytest
 
 from stream_reader_mzxml_spark.datagen import (
     HOT_SOURCE,
@@ -73,3 +74,31 @@ def test_write_slices_roundtrip(tmp_path):
     assert t.num_rows == 250
     full = generate_sequences(250, seed=42)
     assert t.equals(full)
+
+
+@pytest.mark.spark
+class TestReportSinks:
+    def test_csv_and_text_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from stream_reader_mzxml_spark.sources.sinks import (
+            write_csv_report,
+            write_text_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2.5, "a"), (2, 3.5, "b")], ["k", "v", "s"]
+        )
+        csv_dir = str(tmp_path / "rep_csv")
+        write_csv_report(df, csv_dir, single_file=True)
+        back = spark.read.option("header", True).option("sep", ";").csv(csv_dir)
+        assert back.columns == ["k", "v", "s"]
+        assert back.count() == 2
+
+        txt_dir = str(tmp_path / "rep_txt")
+        write_text_lines(
+            df.select(F.concat_ws(";", "k", "v", "s").alias("line")), txt_dir,
+            single_file=True,
+        )
+        lines = {r.value for r in spark.read.text(txt_dir).collect()}
+        assert lines == {"1;2.5;a", "2;3.5;b"}
