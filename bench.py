@@ -84,8 +84,9 @@ def ensure_sequences(n_rows: int, seed: int = SEQ_SEED) -> tuple[str, int]:
             return path, json.load(f)["clean_tokens"]
     if os.path.exists(path):
         shutil.rmtree(path)
-    # files sized for ~16 micro-batches at maxFilesPerTrigger=2
-    write_sequences(path, n_rows, seed=seed, rows_per_file=max(5_000, n_rows // 32))
+    # file = scan-task granularity (one row group per file): keep ≥128 files
+    # so every micro-batch's scan stage has more tasks than cores at local[32]
+    write_sequences(path, n_rows, seed=seed, rows_per_file=max(5_000, n_rows // 128))
     total = 0
     for fn in sorted(os.listdir(path)):
         if not fn.endswith(".parquet"):

@@ -138,25 +138,47 @@ def minhash_lsh_pairs(
     ``r = k/bands`` components matches exactly, so shuffle volume is
     O(docs × bands) not O(docs²)."""
     r = k // bands
-    sig = df.select(
-        "doc_id", minhash_signature(F.col(text_col), k).alias("sig")
-    ).filter(F.size("sig") > 0)
+    # explode + groupBy form: the (expensive) shingle expression is evaluated
+    # exactly once per doc; the k permutation mins are trivial aggregates.
+    # The array-expression form (minhash_signature) duplicates the shingle
+    # subtree k times — k× the work and k× the generated code.
+    ex = df.select(
+        "doc_id", F.explode(shingle_hashes(F.col(text_col))).alias("h")
+    )
+    sig = ex.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.col("h") * a + b) % MINHASH_PRIME)
+                for a, b in MINHASH_PERMS[:k]
+            ]
+        ).alias("sig")
+    )
     banded = sig.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(*[F.slice("sig", j * r + 1, r) for j in range(bands)])
         ).alias("band_idx", "band"),
-    )
+    ).withColumn("band_h", F.xxhash64("band"))
+    # scalar join key (arrays make poor hash-join keys); band equality stays
+    # as an exact residual so hash collisions cannot create false candidates
     a = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"), "band_idx", "band"
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("sig_a"),
+        F.col("band").alias("band_a"),
+        "band_idx",
+        "band_h",
     )
     b = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"), "band_idx", "band"
+        F.col("doc_id").alias("b_id"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        "band_idx",
+        "band_h",
     )
     cand = (
-        a.join(b, ["band_idx", "band"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        a.join(b, ["band_idx", "band_h"])
+        .filter((F.col("a_id") < F.col("b_id")) & (F.col("band_a") == F.col("band_b")))
         .select("a_id", "b_id", "sig_a", "sig_b")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -209,7 +231,30 @@ def simhash_neardup_pairs(
     differing bits shares ≥1 band) — the banded plan provably equals the
     all-pairs plan, which is exactly what the DuckDB oracle runs."""
     assert max_hamming < 8, "pigeonhole guarantee needs hamming < #bands"
-    sig = df.select("doc_id", simhash32(F.col(text_col)).alias("sim"))
+    # explode + two-level groupBy: tf per (doc, word) once, then 32 simple
+    # bit-sum aggregates — vs the simhash32 expression form which duplicates
+    # the O(words²) tf subtree 32 times
+    tf = (
+        df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "tf", h32(F.col("w")).alias("h"))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(32):
+        sim = sim + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0)
+        )
+    sig = bit_sums.select("doc_id", sim.alias("sim"))
     banded = sig.select(
         "doc_id",
         "sim",
