@@ -141,9 +141,13 @@ def run_streaming_suite(
     tokens_per_row = total_tokens / max(total_rows, 1)
 
     out = {}
+    # join salts pinned (identical job at every parallelism level) and sized
+    # so groups (8 shards × 32 salts = 256) spread evenly over the state
+    # partitions — too few groups leaves straggler partitions at high core
+    # counts (hot shard = 40 % of rows)
     for label, builder in (
         ("windowed_agg", lambda s: salted_tumbling_token_stats(s)),
-        ("stateful_join", lambda s: stateful_shard_join(s)),
+        ("stateful_join", lambda s: stateful_shard_join(s, n_salts=32)),
     ):
         # tmpfs checkpoints when available: the local-disk fsync per state
         # commit is a sandbox artifact (a cluster checkpoints to HDFS/S3 with

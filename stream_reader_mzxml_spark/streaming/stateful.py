@@ -158,6 +158,32 @@ def _clean_tokens_py(toks) -> list[int]:
     return arr[arr != 0].astype(int).tolist()
 
 
+def _clean_tokens_batch(toks_seq) -> tuple[list, np.ndarray]:
+    """Vectorized pad-drop over a whole emit batch: one concatenate + one
+    mask + reduceat, instead of a per-row Python loop (S8 kernel on the
+    stateful-join output path)."""
+    n = len(toks_seq)
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in toks_seq), dtype=np.int64, count=n
+    )
+    if n == 0 or lens.sum() == 0:
+        return [[] for _ in range(n)], np.zeros(n, dtype=np.int64)
+    flat = np.concatenate(
+        [np.asarray(t, dtype=np.int32) for t in toks_seq if t is not None and len(t)]
+    )
+    keep = flat != 0
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    kept_per_row = np.zeros(n, dtype=np.int64)
+    kept_per_row[nonempty] = np.add.reduceat(keep.astype(np.int64), starts[nonempty])[
+        : nonempty.sum()
+    ]
+    clean_flat = flat[keep]
+    bounds = np.cumsum(kept_per_row)[:-1]
+    return [a for a in np.split(clean_flat, bounds)], kept_per_row
+
+
 def _shard_join_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -231,7 +257,7 @@ def _shard_join_fn(
     if len(emit) == 0:
         yield pd.DataFrame(columns=cols)
         return
-    clean = [_clean_tokens_py(t) for t in emit["toks"]]
+    clean, n_clean = _clean_tokens_batch(list(emit["toks"]))
     yield pd.DataFrame(
         {
             "ms1_doc_id": emit["ref"].to_numpy(),
@@ -242,7 +268,7 @@ def _shard_join_fn(
                 // 1_000_000
             ),
             "clean_tokens": clean,
-            "n_clean": [len(c) for c in clean],
+            "n_clean": n_clean,
         }
     )
 
