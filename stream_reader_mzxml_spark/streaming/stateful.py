@@ -308,7 +308,17 @@ def stateful_shard_join(
         .withColumn("shard", F.substring_index(parent, "-", 2))
         .withColumn("salt", F.pmod(F.hash(parent), F.lit(n_salts)))
         .withWatermark("event_time", watermark)
-        .select("shard", "salt", "doc_id", "source", "event_time", "tokens", "precursor_ref")
+        # probe-side (ms1) rows never use their tokens — null them out so
+        # they don't ride the Arrow transfer into Python (≈ half the volume)
+        .select(
+            "shard",
+            "salt",
+            "doc_id",
+            "source",
+            "event_time",
+            F.when(F.col("precursor_ref").isNotNull(), F.col("tokens")).alias("tokens"),
+            "precursor_ref",
+        )
     )
     return keyed.groupBy("shard", "salt").applyInPandasWithState(
         _shard_join_fn,
