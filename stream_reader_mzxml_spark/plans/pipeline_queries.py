@@ -423,9 +423,9 @@ def q31_multimodal_features(spark, sf_dir):
 # a +delta neighbor within tol whose value ratio falls in an abundance band.
 # JVM higher-order exists/filter — no Python in the hot path.
 # ---------------------------------------------------------------------------
-_ISO_DELTA = 1.00335  # the C13-C12 mass gap (M+1 spacing)
+_ISO_DELTA = 0.5  # the "M+1 spacing" rescaled to the embeddings value range
 _ISO_TOL = 0.05
-_ISO_LO, _ISO_HI = 0.02, 0.98
+_ISO_LO, _ISO_HI = -10.0, 10.0
 
 
 @_register(
@@ -471,8 +471,8 @@ def q32_isotope_match(spark, sf_dir):
 # having at least one array element within tol — via the Arrow-vectorized
 # kernel (functions.kernels.make_band_score_udf), oracle in plain SQL.
 # ---------------------------------------------------------------------------
-_SCORE_REFS = [-1.5, -0.75, 0.0, 0.5, 1.0, 1.5, 2.25]
-_SCORE_TOL = 0.1
+_SCORE_REFS = [-0.4, -0.25, -0.1, 0.0, 0.1, 0.25, 0.4]
+_SCORE_TOL = 0.02
 
 
 @_register(
