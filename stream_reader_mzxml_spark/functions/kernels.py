@@ -244,3 +244,36 @@ def pairwise_diffs_udf(arrays: pd.Series) -> pd.Series:
             out.append(diffs[w : w + c])
             w += int(c)
     return pd.Series(out)
+
+
+def pairwise_diff_counts(df, array_col: str, fix: float = 100.0):
+    """J4 + A3 fused with map-side partial aggregation INSIDE the kernel.
+
+    The naive plan (pairwise_diffs_udf → explode → groupBy) ships every raw
+    diff (O(Σ len²) doubles) through Arrow and a shuffle. Since the consumer
+    is an aggregation, the reduction belongs inside the UDF (SURVEY §4: "do
+    reduction early in the UDF by hand — Catalyst can't see into UDFs"):
+    each Arrow batch emits its (quantized diff, count) partials — thousands
+    of rows instead of millions — and the final groupBy merges partials.
+    Quantization matches ``quantize_trunc`` exactly: trunc-toward-zero, +0.0
+    to normalize IEEE -0.0.
+    """
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flat, lens, _ = _flatten(pdf[array_col])
+            diffs, _counts = seg_pairwise_diffs(flat.astype(np.float64), lens)
+            q = np.trunc(diffs * fix) / fix + 0.0
+            vals, cnts = np.unique(q, return_counts=True)
+            yield pd.DataFrame({"diff": vals, "cnt": cnts.astype(np.int64)})
+
+    src = df.select(array_col)
+    # a single-file local read gives one partition — the O(len²) Python work
+    # must spread over the cores. On a real table (many files/splits) the
+    # input is already partitioned and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    partial = src.mapInPandas(gen, "diff double, cnt long")
+    return partial.groupBy("diff").agg(F.sum("cnt").alias("cnt"))

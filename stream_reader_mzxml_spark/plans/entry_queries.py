@@ -323,16 +323,10 @@ def q08_interval_join(spark, sf_dir):
 )
 def q09_pairwise_diff_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    diffs = emb.select(
-        F.explode(pairwise_diffs_udf(F.col("embedding"))).alias("d")
-    )
-    return (
-        diffs.select((quantize_trunc(F.col("d"), 100.0) + F.lit(0.0)).alias("diff"))
-        .groupBy("diff")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("diff"))
-        .limit(40)
-    )
+    from stream_reader_mzxml_spark.functions.kernels import pairwise_diff_counts
+
+    counts = pairwise_diff_counts(emb, "embedding", fix=100.0)
+    return counts.orderBy(F.desc("cnt"), F.asc("diff")).limit(40)
 
 
 # ---------------------------------------------------------------------------
