@@ -97,10 +97,12 @@ def salted_two_phase_count(
     Used where AQE can't re-plan (streaming stateful aggs) and as the explicit
     scale story for batch.
 
-    The salt is ``pmod(hash(all columns…), n_salts)`` via a per-row stable hash
-    of a high-cardinality column when available (falls back to
-    ``spark_partition_id``), so the same input always salts identically
-    (deterministic re-execution under task retry — required for exactly-once).
+    The salt here is ``pmod(spark_partition_id(), n_salts)`` — zero extra
+    hashing, stable under task retry (partition ids are fixed by the input
+    split), and it spreads a hot key exactly as far as its rows are spread
+    over input partitions. The streaming variants salt by a content hash
+    instead (``streaming/windows.py``, ``streaming/stateful.py``) because
+    state keys must not depend on physical partitioning.
     """
     cnt = agg_col if agg_col is not None else F.count(F.lit(1))
     salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
