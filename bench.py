@@ -258,10 +258,12 @@ def bench_scaling(sf_dir: str, low: int, high: int, trials: int = 2) -> dict:
         sec = sum(v["sustained_sec"] for v in r["streaming"].values())
         return toks / max(sec, 1e-9)
 
+    # trials interleave the two levels so time-correlated sandbox noise (the
+    # VM's effective CPU budget swings several-fold over minutes) hits both
+    # levels equally instead of whichever ran in the fast window
     results = {}
-    for cpus in (low, high):
-        best = None
-        for t in range(trials):
+    for t in range(trials):
+        for cpus in (low, high):
             r = bench_once(
                 cpus,
                 sf_dir,
@@ -271,9 +273,8 @@ def bench_scaling(sf_dir: str, low: int, high: int, trials: int = 2) -> dict:
                 n_batches=3,
             )
             log(f"[scaling] cpus={cpus} trial={t} sustained={sustained(r):.0f} tok/s")
-            if best is None or sustained(r) > sustained(best):
-                best = r
-        results[cpus] = best
+            if cpus not in results or sustained(r) > sustained(results[cpus]):
+                results[cpus] = r
 
     thr_low = round(sustained(results[low]), 1)
     thr_high = round(sustained(results[high]), 1)
