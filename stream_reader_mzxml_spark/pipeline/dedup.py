@@ -155,32 +155,33 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(*[F.slice("sig", j * r + 1, r) for j in range(bands)])
         ).alias("band_idx", "band"),
     ).withColumn("band_h", F.xxhash64("band"))
     # scalar join key (arrays make poor hash-join keys); band equality stays
-    # as an exact residual so hash collisions cannot create false candidates
+    # as an exact residual so hash collisions cannot create false candidates.
+    # Only (doc_id, band) rides the candidate join — signatures are fetched
+    # AFTER pair dedup, so the banded shuffle carries r values per row, not
+    # the full k-component signature on both sides.
     a = banded.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("sig").alias("sig_a"),
-        F.col("band").alias("band_a"),
-        "band_idx",
-        "band_h",
+        F.col("doc_id").alias("a_id"), F.col("band").alias("band_a"),
+        "band_idx", "band_h",
     )
     b = banded.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("sig").alias("sig_b"),
-        F.col("band").alias("band_b"),
-        "band_idx",
-        "band_h",
+        F.col("doc_id").alias("b_id"), F.col("band").alias("band_b"),
+        "band_idx", "band_h",
     )
-    cand = (
+    pairs = (
         a.join(b, ["band_idx", "band_h"])
         .filter((F.col("a_id") < F.col("b_id")) & (F.col("band_a") == F.col("band_b")))
-        .select("a_id", "b_id", "sig_a", "sig_b")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = pairs.join(
+        sig.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a")), "a_id"
+    ).join(
+        sig.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b")), "b_id"
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
