@@ -257,6 +257,17 @@ def pairwise_diff_counts(df, array_col: str, fix: float = 100.0):
     of rows instead of millions — and the final groupBy merges partials.
     Quantization matches ``quantize_trunc`` exactly: trunc-toward-zero, +0.0
     to normalize IEEE -0.0.
+
+    Deliberate divergence from the reference (SURVEY §7 "reproduce or
+    document"): ``MainDistributionDiffMzIons.scala:87-93`` folds per-spectrum
+    count maps with ``acc ++ m.map { case (k, v) => k -> (v + acc.getOrElse
+    (k, 0)) }`` — but the ``++`` REPLACES accumulator entries with the
+    right-hand map's, so every spectrum after the first overwrites (rather
+    than merges into) the running totals for keys it shares; the published
+    counts are effectively "last spectrum's count + one prior count". We
+    implement the evidently-intended merge (sum of counts across all
+    records): the final ``groupBy(diff).sum(cnt)`` is commutative/associative
+    over all partials, so no ordering artifact can reproduce the bug here.
     """
     from collections.abc import Iterator
 
@@ -270,10 +281,10 @@ def pairwise_diff_counts(df, array_col: str, fix: float = 100.0):
 
     src = df.select(array_col)
     # a single-file local read gives one partition — the O(len²) Python work
-    # must spread over the cores. On a real table (many files/splits) the
-    # input is already partitioned and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    # must spread over the cores. repartition unconditionally: checking
+    # src.rdd.getNumPartitions() first forces a driver-side RDD conversion
+    # of the analyzed plan, which costs more than the round-robin exchange
+    # it occasionally saves; on a well-partitioned table AQE coalesces it.
+    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     partial = src.mapInPandas(gen, "diff double, cnt long")
     return partial.groupBy("diff").agg(F.sum("cnt").alias("cnt"))

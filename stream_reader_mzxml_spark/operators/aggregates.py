@@ -113,6 +113,49 @@ def salted_two_phase_count(
     )
 
 
+def salted_top_k(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    n_salts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W5 at scale — per-group top-K without a single-task sort per group.
+
+    A plain ``row_number() OVER (PARTITION BY key)`` shuffles every row of a
+    group into ONE task: with a 3-value key (q13) or a handful of probe ids
+    (q29) the whole table serializes through ≤ |keys| tasks. Two-phase form:
+
+      phase 1: rank within (key, salt) — the shuffle key has |keys|·n_salts
+               values, so a hot group spreads over n_salts tasks; keep ≤ k
+               rows per (key, salt).
+      phase 2: re-rank the ≤ k·n_salts survivors per key — bounded input,
+               the singleton-task sort is now O(k·n_salts), not O(group).
+
+    Equality with the single-phase window holds because any row in the true
+    global top-k is also in the top-k of its own salt partition (its rank
+    within any subset is ≤ its global rank). Proven against the plain-window
+    oracle by q36. Salt is ``pmod(spark_partition_id(), n_salts)`` — free,
+    retry-stable, no physical-partitioning dependence needed here (batch only;
+    streaming state keys use content hashes instead).
+    """
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    partial = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        partial.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def stream_cardinality(df: DataFrame, name: str = "n_rows"):
     """A6 — stream cardinality via ``observe`` (no second pass).
 

@@ -31,7 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stream_reader_mzxml_spark.pipeline.text import h32, words
+from stream_reader_mzxml_spark.pipeline.text import h32, h60, words
 
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 MINHASH_K = 16  # permutations
@@ -83,16 +83,43 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _pair_jaccard(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """(a_id, b_id, n_int, n_a, n_b) for every doc pair sharing ≥1 shingle."""
+NGRAM_MAX_DF = 50  # shingles present in > this many docs are pruned (skew cap)
+
+
+def _pair_jaccard(
+    df: DataFrame, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(a_id, b_id, n_int, n_a, n_b) for every doc pair sharing ≥1 shingle.
+
+    ``max_df`` is the frequent-shingle cap: a stop-phrase shingle shared by
+    millions of docs makes the inverted-index self-join quadratic in that
+    shingle's document frequency — the unbounded skew axis at 100 TB. We
+    compute shingle df, collect the (tiny, Zipf-tail) frequent set, and
+    broadcast-anti-join it away BEFORE the self-join; Jaccard is then exact
+    over the pruned shingle space (denominators recomputed post-prune).
+    Trade-off: pairs whose similarity rests mostly on ubiquitous shingles can
+    fall below threshold (recall loss on boilerplate-only matches — usually
+    the desired behavior for near-dup mining); no false positives are added.
+    """
     sh = df.select(
         F.col("doc_id"), shingle_hashes(F.col(text_col), n).alias("shingles")
-    ).select("doc_id", F.size("shingles").alias("n_sh"), "shingles")
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    a = ex.select(
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_df is not None:
+        freq = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(freq), ["s"], "left_anti")
+    sized = ex.join(
+        ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")), ["doc_id"]
+    )
+    a = sized.select(
         F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"), "s"
     )
-    b = ex.select(
+    b = sized.select(
         F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"), "s"
     )
     return (
@@ -104,10 +131,16 @@ def _pair_jaccard(df: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.8, text_col: str = "text", n: int = 3
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the inverted-index join."""
-    p = _pair_jaccard(df, text_col, n)
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join,
+    with frequent-shingle pruning (df > ``max_df``) bounding hot-key skew.
+    ``max_df=None`` disables pruning (exact over the full shingle space)."""
+    p = _pair_jaccard(df, text_col, n, max_df)
     jac = F.col("n_int") / (F.col("n_a") + F.col("n_b") - F.col("n_int"))
     return p.select(
         "a_id", "b_id", F.round(jac, 6).alias("jaccard")
@@ -192,22 +225,28 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
-def simhash32(text_col):
-    """32-bit SimHash over term-frequency-weighted word h32s.
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in both engines
+SIMHASH_BANDS = 4  # 15-bit bands → 4 × 2^15 ≈ 131k distinct join-key values
 
-    bit_j = 1 iff Σ_w tf(w) · (2·bit_j(h32(w)) − 1) ≥ 0. Computed as a pure
+
+def simhash_sig(text_col, bits: int = SIMHASH_BITS):
+    """``bits``-bit SimHash over term-frequency-weighted word hashes.
+
+    bit_j = 1 iff Σ_w tf(w) · (2·bit_j(h(w)) − 1) ≥ 0. Computed as a pure
     column expression: fold words into per-bit sums via aggregate over the
-    distinct-word tf map."""
+    distinct-word tf map. Expression form for tests/small inputs — the
+    operator path (``simhash_neardup_pairs``) uses the explode+groupBy form
+    which evaluates the O(words²) tf subtree once, not ``bits`` times."""
     ws = words(text_col)
     uniq = F.array_distinct(ws)
-    # per distinct word: (h32, tf)
     pairs = F.transform(
         uniq,
         lambda w: F.struct(
-            h32(w).alias("h"),
+            h60(w).alias("h"),
             F.size(F.filter(ws, lambda x: x == w)).alias("tf"),
         ),
     )
+
     def _bit_sum(j: int):
         return F.aggregate(
             pairs,
@@ -216,30 +255,45 @@ def simhash32(text_col):
             + p["tf"] * (F.shiftright(p["h"], j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
-    bit_sums = [_bit_sum(j) for j in range(32)]
     out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    for j in range(bits):
+        out = out + F.when(_bit_sum(j) >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0)
+        )
     return out
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, max_hamming: int = 6, text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
-    """SimHash near-dup pairs with hamming ≤ ``max_hamming`` (< 8).
+    """SimHash near-dup pairs with hamming ≤ ``max_hamming`` (< ``bands``).
 
-    Candidates from 8 disjoint 4-bit bands (pigeonhole: any pair with ≤7
-    differing bits shares ≥1 band) — the banded plan provably equals the
-    all-pairs plan, which is exactly what the DuckDB oracle runs."""
-    assert max_hamming < 8, "pigeonhole guarantee needs hamming < #bands"
-    # explode + two-level groupBy: tf per (doc, word) once, then 32 simple
-    # bit-sum aggregates — vs the simhash32 expression form which duplicates
-    # the O(words²) tf subtree 32 times
+    Candidates from ``bands`` disjoint ``bits/bands``-wide bands (pigeonhole:
+    a pair with < ``bands`` differing bits shares ≥1 band) — the banded plan
+    provably equals the all-pairs plan, which is exactly what the DuckDB
+    oracle runs.
+
+    Scale note (round-2 re-band): with 60-bit signatures and 4×15-bit bands
+    the candidate join key has 4·2^15 ≈ 131k values, so each bucket holds
+    ~n/2^15 docs and candidate volume stays near-linear for corpora whose
+    signatures spread (vs the old 32-bit/4-bit-nibble scheme whose 128-value
+    key made the join all-pairs-in-disguise at scale)."""
+    assert bits % bands == 0, "bands must tile the signature"
+    assert max_hamming < bands, "pigeonhole guarantee needs hamming < #bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    # explode + two-level groupBy: tf per (doc, word) once, then `bits` simple
+    # bit-sum aggregates — vs the expression form which duplicates the
+    # O(words²) tf subtree per bit
     tf = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select("doc_id", "tf", h32(F.col("w")).alias("h"))
+        .select("doc_id", "tf", h60(F.col("w")).alias("h"))
     )
     bit_sums = tf.groupBy("doc_id").agg(
         *[
@@ -247,11 +301,11 @@ def simhash_neardup_pairs(
                 F.col("tf")
                 * (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"s{j}")
-            for j in range(32)
+            for j in range(bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for j in range(32):
+    for j in range(bits):
         sim = sim + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0)
         )
@@ -262,20 +316,22 @@ def simhash_neardup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sim", 4 * i).bitwiseAND(F.lit(15))
-                    for i in range(8)
+                    F.shiftright("sim", width * i).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
                 ]
             )
-        ).alias("band_idx", "nibble"),
+        ).alias("band_idx", "band_val"),
     )
     a = banded.select(
-        F.col("doc_id").alias("a_id"), F.col("sim").alias("sim_a"), "band_idx", "nibble"
+        F.col("doc_id").alias("a_id"), F.col("sim").alias("sim_a"),
+        "band_idx", "band_val",
     )
     b = banded.select(
-        F.col("doc_id").alias("b_id"), F.col("sim").alias("sim_b"), "band_idx", "nibble"
+        F.col("doc_id").alias("b_id"), F.col("sim").alias("sim_b"),
+        "band_idx", "band_val",
     )
     cand = (
-        a.join(b, ["band_idx", "nibble"])
+        a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "sim_a", "sim_b")
         .dropDuplicates(["a_id", "b_id"])

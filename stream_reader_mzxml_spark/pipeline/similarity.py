@@ -78,17 +78,25 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine top-k: probes = first ``n_probes`` ids (a stand-in
-    for an arbitrary probe table). Broadcast probes × scan corpus → window
-    rank per probe. Ties broken by neighbor id (deterministic)."""
+    for an arbitrary probe table). Broadcast the (small) probe side against a
+    scan of the corpus — the corpus never leaves its executors, so the plan
+    survives a 100× corpus without a driver/executor OOM. Ranking is a salted
+    two-phase top-k: partition-local top-k (shuffle keyed by (p_id, salt)),
+    then a final merge over at most ``k × n_partitions`` rows per probe — no
+    single-task sort over the whole corpus. Ties broken by neighbor id
+    (deterministic)."""
     corpus = _with_norm(emb, id_col, "n_id", "vn", "nn")
     probes = _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
-    cand = probes.join(F.broadcast(corpus).alias("c"), F.col("p_id") != F.col("n_id"))
+    cand = F.broadcast(probes).join(corpus, F.col("p_id") != F.col("n_id"))
     cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
-    w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return (
-        cand.select("p_id", "n_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    from ..operators.aggregates import salted_top_k
+
+    return salted_top_k(
+        cand.select("p_id", "n_id", cos.alias("cosine")),
+        keys=["p_id"],
+        order=[F.desc("cosine"), F.asc("n_id")],
+        k=k,
+        rank_col="rank",
     )
 
 

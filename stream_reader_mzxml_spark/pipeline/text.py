@@ -34,6 +34,16 @@ def h32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def h60(col: Column) -> Column:
+    """Portable 60-bit string hash: ``int(md5(s)[:15], 16)`` as BIGINT.
+
+    60 bits (15 hex chars) rather than 64 so the value fits signed int64 in
+    both engines without the sign-bit edge case (DuckDB's ``::BIGINT`` hex
+    cast rejects values ≥ 2^63). Used by the 60-bit SimHash whose 15-bit
+    bands need a wide, uniformly-hashed bit pool."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def words(col: Column) -> Column:
     """Space-split word array (exactly DuckDB's ``string_split(s, ' ')``)."""
     return F.split(col, " ")

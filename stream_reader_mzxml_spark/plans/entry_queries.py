@@ -345,8 +345,10 @@ def q09_pairwise_diff_topk(spark, sf_dir):
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     ), s AS (
       SELECT event_type, t, event_id,
-             sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+             -- ::BIGINT: DuckDB windowed sum yields HUGEINT (int128) whose
+             -- canonical hash differs from Spark's int64 even at equal values
+             CAST(sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT event_type, session_id, count(*) AS n_events,

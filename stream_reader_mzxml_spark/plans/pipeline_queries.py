@@ -178,14 +178,20 @@ def q24_exact_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q25 — exact n-gram Jaccard near-dup pairs (inverted-index join)
+# q25 — exact n-gram Jaccard near-dup pairs (inverted-index join with
+# frequent-shingle pruning: shingles in > NGRAM_MAX_DF docs are dropped on
+# BOTH sides before the self-join; Jaccard is exact over the pruned space)
 # ---------------------------------------------------------------------------
 @_register(
     "q25_ngram_jaccard",
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
-    ex AS (SELECT doc_id, length(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    freq AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > {dedup.NGRAM_MAX_DF}),
+    ex1 AS (SELECT doc_id, s FROM ex0 ANTI JOIN freq USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n_sh FROM ex1 GROUP BY doc_id),
+    ex AS (SELECT e.doc_id, e.s, c.n_sh FROM ex1 e JOIN cnt c USING (doc_id)),
     p AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS n_int
@@ -247,8 +253,15 @@ def q26_minhash_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# q27 — SimHash near-dup pairs (banded plan ≡ all-pairs by pigeonhole)
+# q27 — SimHash near-dup pairs (banded plan ≡ all-pairs by pigeonhole).
+# Round-2 re-band: 60-bit signature (h60 = 15 md5 hex chars), 4×15-bit bands
+# (131k join-key values vs the old 128), hamming ≤ 3 (< #bands keeps the
+# pigeonhole recall-1 guarantee). The oracle runs the ALL-PAIRS plan over the
+# same signatures, so the banded candidate join is proven complete, not just
+# plausible.
 # ---------------------------------------------------------------------------
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
 @_register(
     "q27_simhash",
     f"""
@@ -256,7 +269,7 @@ def q26_minhash_lsh(spark, sf_dir):
     tf AS (
       SELECT doc_id,
              list_transform(list_distinct(ws),
-               u -> {{'h': {_H32.format(x="u")},
+               u -> {{'h': {_H60.format(x="u")},
                       'tf': length(list_filter(ws, x -> x = u))}}) AS pairs
       FROM w
     ),
@@ -265,7 +278,7 @@ def q26_minhash_lsh(spark, sf_dir):
              list_reduce(list_prepend(0::BIGINT,
                list_transform(pairs, p -> p.tf * ((((p.h >> g.j) & 1) * 2) - 1))),
                (acc, x) -> acc + x) AS s
-      FROM tf, (SELECT unnest(generate_series(0, 31)) AS j) g
+      FROM tf, (SELECT unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS j) g
     ),
     sim AS (
       SELECT doc_id,
@@ -276,11 +289,11 @@ def q26_minhash_lsh(spark, sf_dir):
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              bit_count(xor(a.sim, b.sim)) AS hamming
       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-    ) WHERE hamming <= 6
+    ) WHERE hamming <= 3
     """,
 )
 def q27_simhash(spark, sf_dir):
-    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +397,13 @@ def q30_lsh_ann_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q31 — multimodal plumbing: binary payload + deterministic stub featurize
 # (np.array_split chunking reproduced in SQL: first l%4 chunks get an extra
-# byte; mean byte value per chunk)
+# byte; mean byte value per chunk). The feature vector is rendered as a
+# ';'-joined %.6f string because the driver's canonicalizer cannot hash
+# array<double> cells; the array-typed form stays the API (multimodal.py)
+# and is exercised by tests. Oracle is padded to exactly 4 chunks (LEFT JOIN
+# against generate_series(0,3) + coalesce 0.0) so texts shorter than 4 chars
+# match the stub's fixed-dim output; assumes ASCII text (datagen guarantees —
+# ascii()/substr() are char-based, the stub is byte-based).
 # ---------------------------------------------------------------------------
 @_register(
     "q31_multimodal_features",
@@ -404,17 +423,35 @@ def q30_lsh_ann_topk(spark, sf_dir):
       FROM chars c JOIN documents d ON c.doc_id = d.doc_id
     ),
     chunked AS (
-      SELECT doc_id, l, chunk, round(avg(b), 6) AS m
+      -- round_even: the stub uses Python round() (banker's); chunk means over
+      -- power-of-two counts hit exact .5 ties at the 7th decimal
+      SELECT doc_id, l, chunk, round_even(avg(b), 6) AS m
       FROM tagged GROUP BY doc_id, l, chunk
+    ),
+    docs4 AS (
+      SELECT d.doc_id, length(d.text) AS l, gs.chunk
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS chunk) gs
     )
-    SELECT doc_id, 'text/plain' AS media_type, l AS n_bytes,
-           list(m ORDER BY chunk) AS feature
-    FROM chunked GROUP BY doc_id, l
+    SELECT d4.doc_id, 'text/plain' AS media_type, d4.l AS n_bytes,
+           string_agg(printf('%.6f', coalesce(c.m, 0.0)), ';' ORDER BY d4.chunk)
+             AS feature_str
+    FROM docs4 d4
+    LEFT JOIN chunked c ON d4.doc_id = c.doc_id AND d4.chunk = c.chunk
+    GROUP BY d4.doc_id, d4.l
     """,
 )
 def q31_multimodal_features(spark, sf_dir):
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.featurize(media, decode_stub=True)
+    feat = multimodal.featurize(media, decode_stub=True)
+    return feat.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
+        ).alias("feature_str"),
+    )
 
 
 # ---------------------------------------------------------------------------

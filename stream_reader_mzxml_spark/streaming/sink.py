@@ -48,8 +48,10 @@ def _batch_writer(out_dir: str, lineage_dir: str, token_col: str | None):
         batch_df = batch_df.withColumn("__pid", F.spark_partition_id())
         batch_df.persist()
         try:
+            # coalesce: with ANSI off, size(NULL) = -1 — null-token rows
+            # (datagen emits ~0.5%) would silently undercount the total
             n_tok_expr = (
-                F.sum(F.size(token_col)).alias("n_tokens")
+                F.sum(F.coalesce(F.size(token_col), F.lit(0))).alias("n_tokens")
                 if token_col
                 else F.lit(0).cast("long").alias("n_tokens")
             )
@@ -107,7 +109,9 @@ def start_exactly_once(
         "rates",
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.sum(F.size(token_col)) if token_col else F.lit(0)
+            F.sum(F.coalesce(F.size(token_col), F.lit(0)))
+            if token_col
+            else F.lit(0)
         ).alias("n_tokens"),
     )
     writer = observed.writeStream.outputMode(output_mode).foreachBatch(

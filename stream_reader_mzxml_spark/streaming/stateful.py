@@ -139,6 +139,10 @@ def _match_and_split(ms1: pd.DataFrame, ms2: pd.DataFrame, delta_us: int):
         return pd.DataFrame(columns=list(ms2.columns) + ["ms1_time_us"]), ms2
     if len(ms1) == 0:
         return pd.DataFrame(columns=list(ms2.columns) + ["ms1_time_us"]), ms2
+    # duplicate delivery can land the same parent doc twice in the buffer;
+    # a 1:N left merge would then expand rows and break the positional
+    # unmatched mask below (and double-emit matches) — keep the latest
+    ms1 = ms1.drop_duplicates("doc", keep="last")
     merged = ms2.merge(
         ms1.rename(columns={"doc": "ref", "t_us": "ms1_time_us"}),
         on="ref",
@@ -251,7 +255,7 @@ def _shard_join_fn(
     ms1 = ms1[ms1["t_us"] >= wm_us - delta_us]
     ms2 = ms2[ms2["t_us"] >= wm_us - delta_us]
     _save(state, ms1, ms2)
-    horizon_ms = int(max(t_us.max(), wm_us // 1000) // 1000) + (DELTA_SECONDS + 1) * 1000
+    horizon_ms = int(max(int(t_us.max()), wm_us) // 1000) + (DELTA_SECONDS + 1) * 1000
     state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1000))
 
     if len(emit) == 0:

@@ -116,13 +116,14 @@ class TestDedup:
         sigs = {
             r.doc_id: r.sim
             for r in docs_df.select(
-                "doc_id", dedup.simhash32(F.col("text")).alias("sim")
+                "doc_id", dedup.simhash_sig(F.col("text")).alias("sim")
             ).collect()
         }
         assert sigs[0] == sigs[3]
+        assert all(0 <= s < (1 << dedup.SIMHASH_BITS) for s in sigs.values())
         got = {
             (r.a_id, r.b_id): r.hamming
-            for r in dedup.simhash_neardup_pairs(docs_df, max_hamming=7).collect()
+            for r in dedup.simhash_neardup_pairs(docs_df, max_hamming=3).collect()
         }
         # oracle: all-pairs hamming over collected signatures
         ids = sorted(sigs)
@@ -130,9 +131,50 @@ class TestDedup:
             (a, b): bin(sigs[a] ^ sigs[b]).count("1")
             for i, a in enumerate(ids)
             for b in ids[i + 1 :]
-            if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
         }
         assert got == exp  # banded plan ≡ all-pairs plan (pigeonhole recall=1)
+
+    def test_simhash_candidate_volume_bounded(self, spark):
+        # 120 docs in two well-separated content families: the 4×15-bit band
+        # join must NOT degenerate to all-pairs — candidate count stays far
+        # below n(n-1)/2 because unrelated docs share no 15-bit band.
+        rng = np.random.RandomState(5)
+        vocab_a = [f"alpha{i}" for i in range(200)]
+        vocab_b = [f"beta{i}" for i in range(200)]
+        rows = []
+        for d in range(120):
+            vocab = vocab_a if d % 2 == 0 else vocab_b
+            rows.append((d, " ".join(rng.choice(vocab, 30))))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # reuse the operator's internal candidate stage by running with the
+        # hamming filter wide open at the pigeonhole limit
+        n = len(rows)
+        cands = dedup.simhash_neardup_pairs(df, max_hamming=3).count()
+        assert cands < n * (n - 1) / 2 * 0.05  # << all-pairs
+
+    def test_ngram_jaccard_stopphrase_skew_pruned(self, spark):
+        # a planted stop-phrase shared by EVERY doc would make the inverted-
+        # index self-join quadratic; with max_df pruning the hot shingles are
+        # dropped and only genuinely similar pairs survive.
+        boiler = "terms and conditions apply to all content"
+        rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(40)]
+        rows.append((100, "the quick brown fox jumps over the lazy dog"))
+        rows.append((101, "the quick brown fox jumps over the lazy dog"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.5, max_df=10
+            ).collect()
+        }
+        # boilerplate-only pairs are gone (their only shared shingles had
+        # df=41 > 10); the true exact-dup pair survives at jaccard 1.0
+        assert out == {(100, 101): 1.0}
+        # unpruned form: every boilerplate pair shares shingles → quadratic
+        # candidates (sanity: pruning actually changed the candidate set)
+        unpruned = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=None)
+        assert unpruned.count() > 40 * 39 / 2
 
     def test_embedding_cosine_pairs(self, spark):
         rng = np.random.RandomState(3)
