@@ -1,0 +1,181 @@
+"""The reference's flagship end-to-end analytic — ``CandidateIons``
+(libCandidateIons.sc:100-193) — recomposed Spark-first over the driver's
+``embeddings`` table.
+
+Reference stages → graft stages:
+
+1. MS1 scan + rt gate (libCandidateIons.sc:112-117)    → derived spectra
+   table (rt, peak structs) in the scan's project.
+2. noise filter ``intensity > noise`` (:121-123)       → relational filter
+   on the exploded peak table.
+3. precursor-list match (:125-131): spectrum rt within ``ion.rt ± window``
+   AND ``|ion.m0 − mz| < tol``                         → theta-join against
+   the BROADCAST ion list (the reference materializes the MS2-derived list
+   fully in memory; broadcast is the faithful-and-scalable analog).
+4. ``l.head.fragments`` (:137) — the FIRST matching ion in **list order**
+   wins                                                → ``row_number()``
+   over (spectrum, peak) ordered by ion index; rank 1. Stream-order
+   tie-break, proven by a hand golden in tests.
+5. isotope probes ``findClosestValueMz(mz+Δ1), (mz+Δ2)`` (:142-147;
+   Spectrum.scala:39-41 ``minBy`` = first minimal in traversal order) →
+   ordered ``F.aggregate`` fold over the FULL peak array (noise peaks
+   included, exactly as the reference probes the unfiltered list) with a
+   strict ``<`` comparator, which keeps the earlier element on ties —
+   ``minBy`` semantics, bit-identical to the DuckDB ``list_reduce`` oracle.
+6. double ppm gate (:146-152) and the four isotope-abundance band filters
+   (:162-180, the C/S abundance envelope) → plain column predicates.
+7. Ion record render (:180-190)                        → final select with
+   rounded m/z columns + the ';'-joined fragment string (C10).
+
+Scale: one explode (no shuffle), one broadcast theta-join, one window whose
+key (vec_id, pos) is high-cardinality, one hash join back to the spectra
+arrays for the few winners. No cartesian, no driver collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# re-scaled tolerances (reference values in comments; the graft's value
+# density is ~10 units/σ vs the reference's ~0.01 m/z grid)
+NOISE_INTENSITY = 100.0  # noiseIntensity
+RT_WINDOW = 300.0        # ion rt ± window   (reference ±2 s, :128)
+MZ_TOL = 0.5             # |ion.m0 − mz|     (reference 0.01, :129)
+DELTA_MP0_MP1 = 1.0      # deltaMp0Mp1 (default, :108)
+DELTA_MP0_MP2 = 1.996    # deltaMp0Mp2 (default, :109)
+PPM_PRECISION = 10000.0  # isotope ppm gate (re-scaled)
+BAND1_LO, BAND1_HI = 0.1, 3.0   # int1/int0 envelope (C-abundance analog)
+BAND2_LO, BAND2_HI = 0.05, 5.0  # int2/int0 envelope (S-abundance analog)
+N_IONS = 20
+PEAK_DIM = 64
+
+
+def ion_list() -> list[tuple[int, float, float, str]]:
+    """The ``listPrecMz`` analog: a deterministic literal precursor-ion list
+    (ion_id, rt0, m0, fragments). Small — the broadcast side.
+
+    Ions ``p`` and ``p + N_IONS/2`` share m0 with rt windows offset by only
+    50 s (heavily overlapping): real precursor lists carry the same compound
+    at multiple retention times, and peaks in the overlap match BOTH ions —
+    the case where the reference's ``l.head`` (:137) stream-order tie-break
+    decides the answer."""
+    out = []
+    half = N_IONS // 2
+    for p in range(N_IONS):
+        family = p % half
+        rt0 = float((family * 181) % 3600 + (p // half) * 50)
+        m0 = 100.0 + ((family * 17) % 41) - 20.0
+        fragments = ";".join(str(p * 3 + j) for j in (1, 2))
+        out.append((p, rt0, m0, fragments))
+    return out
+
+
+def spectra_from_embeddings(emb: DataFrame) -> DataFrame:
+    """Spectrum model over embeddings: rt = (vec_id·7) mod 3600; peak i has
+    mz = 100 + component·10 and a portable arithmetic-hash intensity."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    peaks = F.transform(
+        F.sequence(F.lit(0), F.lit(PEAK_DIM - 1)),
+        lambda j: F.struct(
+            (F.lit(100.0) + F.element_at(v, (j + 1).cast("int")) * 10).alias("mz"),
+            F.pmod((F.col("vec_id") * PEAK_DIM + j) * 37, F.lit(1000))
+            .cast("double")
+            .alias("intensity"),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id") * 7, F.lit(3600)).cast("double").alias("rt"),
+        peaks.alias("peaks"),
+    )
+
+
+def _nearest(peaks_col, d):
+    """``findClosestValueMz`` (Spectrum.scala:39-41): first argmin of
+    |peak.mz − d| in list order, as an ordered left fold."""
+    return F.aggregate(
+        peaks_col,
+        F.element_at(peaks_col, 1),
+        lambda acc, p: F.when(
+            F.abs(p["mz"] - d) < F.abs(acc["mz"] - d), p
+        ).otherwise(acc),
+    )
+
+
+def match_winners(spark, spectra: DataFrame) -> DataFrame:
+    """Stages 2-4: noise filter → broadcast ion theta-join → head tie-break.
+    Exposed separately so tests can pin the stream-order tie-break golden."""
+    ions = spark.createDataFrame(
+        ion_list(), "ion_id INT, rt0 DOUBLE, m0 DOUBLE, fragments STRING"
+    )
+
+    pk = spectra.select(
+        "vec_id", "rt", F.posexplode("peaks").alias("j", "peak")
+    ).select(
+        "vec_id",
+        "rt",
+        (F.col("j") + 1).alias("pos"),
+        F.col("peak.mz").alias("mz0"),
+        F.col("peak.intensity").alias("int0"),
+    ).filter(F.col("int0") > NOISE_INTENSITY)
+
+    cand = pk.join(
+        F.broadcast(ions),
+        (F.col("rt") >= F.col("rt0") - RT_WINDOW)
+        & (F.col("rt") <= F.col("rt0") + RT_WINDOW)
+        & (F.abs(F.col("m0") - F.col("mz0")) < MZ_TOL),
+    )
+    # stage 4: head-of-list tie-break — first matching ion in list order
+    w = Window.partitionBy("vec_id", "pos").orderBy("ion_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "rt", "pos", "mz0", "int0", "ion_id", "fragments")
+    )
+
+
+def candidate_ions(spark, emb: DataFrame) -> DataFrame:
+    """The end-to-end program; returns the rendered Ion rows."""
+    spectra = spectra_from_embeddings(emb)
+    winners = match_winners(spark, spectra)
+
+    # stage 5: isotope probes over the FULL peak array (noise included)
+    probed = winners.join(spectra.select("vec_id", "peaks"), ["vec_id"])
+    d0 = F.col("mz0") + F.lit(DELTA_MP0_MP1)
+    d1 = F.col("mz0") + F.lit(DELTA_MP0_MP2)
+    probed = (
+        probed.withColumn("near1", _nearest(F.col("peaks"), d0))
+        .withColumn("near2", _nearest(F.col("peaks"), d1))
+        .select(
+            "vec_id", "rt", "pos", "mz0", "int0", "ion_id", "fragments",
+            F.col("near1.mz").alias("mz1"),
+            F.col("near1.intensity").alias("int1"),
+            F.col("near2.mz").alias("mz2"),
+            F.col("near2.intensity").alias("int2"),
+        )
+    )
+
+    ppm0 = F.abs((F.col("mz1") - d0) / d0) * 1e6
+    ppm1 = F.abs((F.col("mz2") - d1) / d1) * 1e6
+    out = probed.filter(
+        (ppm0 < PPM_PRECISION)
+        & (ppm1 < PPM_PRECISION)
+        & (F.col("int1") >= F.col("int0") * BAND1_LO)
+        & (F.col("int1") < F.col("int0") * BAND1_HI)
+        & (F.col("int2") >= F.col("int0") * BAND2_LO)
+        & (F.col("int2") < F.col("int0") * BAND2_HI)
+    )
+    return out.select(
+        F.col("vec_id").alias("num"),
+        "rt",
+        "pos",
+        F.round("mz0", 6).alias("mz0"),
+        "int0",
+        F.round("mz1", 6).alias("mz1"),
+        "int1",
+        F.round("mz2", 6).alias("mz2"),
+        "int2",
+        "ion_id",
+        "fragments",
+    )

@@ -637,3 +637,15 @@ from stream_reader_mzxml_spark.plans.pipeline_queries import (  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
+
+# ---------------------------------------------------------------------------
+# q34-q36 — nested record model / CandidateIons program / salted top-K from
+# plans.program_queries
+# ---------------------------------------------------------------------------
+from stream_reader_mzxml_spark.plans.program_queries import (  # noqa: E402
+    PROGRAM_ORACLES,
+    PROGRAM_QUERIES,
+)
+
+QUERIES.update(PROGRAM_QUERIES)
+ORACLES.update(PROGRAM_ORACLES)
