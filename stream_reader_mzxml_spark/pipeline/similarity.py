@@ -106,18 +106,35 @@ def lsh_ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     planes: np.ndarray | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """LSH-bucketed ANN top-k: equi-join probe and corpus on bucket id, then
     exact cosine rank within the bucket. At corpus scale the bucket join
-    replaces the broadcast-everything of ``cosine_topk``; recall follows the
-    hyperplane count (tune ``n_planes`` down / add multi-probe for recall)."""
+    replaces the broadcast-everything of ``cosine_topk``.
+
+    ``multi_probe``: each probe also searches every ±1-bit bucket (flip one
+    hyperplane sign), the standard multi-probe LSH recall lift — a near-miss
+    on a single hyperplane no longer hides a close neighbor. Cost is
+    ``n_planes + 1`` probe rows per query (probe side only — the corpus stays
+    single-bucket), not more planes, so corpus-side bucket cardinality (and
+    join parallelism) is unchanged. Pairs cannot duplicate: a neighbor lives
+    in exactly one bucket and probe variants are distinct buckets."""
     planes = hyperplanes() if planes is None else planes
+    n_planes = len(planes)
     corpus = _with_norm(emb, id_col, "n_id", "vn", "nn").withColumn(
         "bucket", bucket_id(F.col("vn"), planes)
     )
     probes = _with_norm(
         emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np"
-    ).withColumn("bucket", bucket_id(F.col("vp"), planes))
+    ).withColumn("bucket0", bucket_id(F.col("vp"), planes))
+    if multi_probe:
+        variants = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        probes = probes.withColumn("bucket", F.explode(variants))
+    else:
+        probes = probes.withColumn("bucket", F.col("bucket0"))
     cand = probes.join(corpus, ["bucket"]).filter(F.col("p_id") != F.col("n_id"))
     cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
     w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))

@@ -452,6 +452,12 @@ def q12_sliding_window(spark, sf_dir):
     """,
 )
 def q13_topk_per_group(spark, sf_dir):
+    # Plain-window W5 form. Scale note: Spark 4 plans a rank<=k filter as
+    # Partial WindowGroupLimit BEFORE the exchange, so each input partition
+    # ships at most k rows per group — the 3-value partition key is no longer
+    # a full-table single-task funnel. The explicitly salted two-phase
+    # operator (salted_top_k, q36) is the variant for engines/versions
+    # without that optimization and for very large k.
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")

@@ -352,6 +352,7 @@ def q29_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def _lsh_ann_sql() -> str:
     planes = similarity.hyperplanes()
+    n_planes = len(planes)
     rows = ",\n        ".join(
         f"({p}, [" + ", ".join(str(float(x)) for x in plane) + "])"
         for p, plane in enumerate(planes)
@@ -374,12 +375,21 @@ def _lsh_ann_sql() -> str:
     ),
     nb AS (SELECT n.vec_id, n.v, n.norm, bkt.bucket
            FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+    -- multi-probe: each probe searches its own bucket plus every 1-bit-flip
+    -- bucket (j=0 → exact; j=1..n_planes → flip plane j-1)
+    pv AS (
+      SELECT nb.vec_id, nb.v, nb.norm,
+             CASE WHEN g.j = 0 THEN nb.bucket
+                  ELSE xor(nb.bucket, (1::BIGINT << (g.j - 1))) END AS bucket
+      FROM nb, (SELECT unnest(generate_series(0, {n_planes})) AS j) g
+      WHERE nb.vec_id < 5
+    ),
     c AS (
       SELECT p.vec_id AS p_id, p.bucket, q.vec_id AS n_id,
              round({_FOLD_DOT.format(a="p.v", b="q.v")} / (p.norm * q.norm), 6)
                AS cosine
-      FROM nb p JOIN nb q ON p.bucket = q.bucket
-      WHERE p.vec_id < 5 AND p.vec_id != q.vec_id
+      FROM pv p JOIN nb q ON p.bucket = q.bucket
+      WHERE p.vec_id != q.vec_id
     )
     SELECT p_id, bucket, n_id, cosine, rank FROM (
       SELECT p_id, bucket, n_id, cosine,

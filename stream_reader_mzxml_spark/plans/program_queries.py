@@ -207,3 +207,115 @@ def q36_salted_topk(spark, sf_dir):
         F.round("l_extendedprice", 2).alias("price"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — unigram-LM perplexity per document: corpus word frequencies → per-doc
+# exp(mean −ln p(w)). The training-data quality metric a web-scale pipeline
+# runs next to q21's heuristics. Float parity: the per-doc log-prob sum is an
+# ORDERED fold over the doc's word positions (sort_array of (pos, logp)
+# structs ≡ DuckDB list(logp ORDER BY pos) + list_reduce), so both engines
+# associate the IEEE additions identically — a plain groupBy sum would be
+# association-nondeterministic and could flip the 6-decimal rounding.
+# At 100 TB: one explode + one groupBy (word counts, partial-agg'd), one
+# hash join back (word dictionary ~ vocabulary-sized, broadcastable), one
+# groupBy doc — all shuffle keys well-distributed (words are Zipf but the
+# count join is a lookup, not a pair-join).
+# ---------------------------------------------------------------------------
+@_register(
+    "q37_unigram_perplexity",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    ex0 AS (
+      SELECT doc_id, ws, length(ws) AS n_words,
+             unnest(generate_series(1, length(ws))) AS pos
+      FROM w
+    ),
+    ex AS (SELECT doc_id, pos, ws[pos] AS word, n_words FROM ex0),
+    cnt AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM ex),
+    lp AS (
+      SELECT e.doc_id, e.pos, e.n_words,
+             -ln(cnt.c / tot.n) AS nll
+      FROM ex e JOIN cnt ON e.word = cnt.word CROSS JOIN tot
+    ),
+    folded AS (
+      SELECT doc_id, n_words,
+             list_reduce(list_prepend(0.0, list(nll ORDER BY pos)),
+                         (acc, x) -> acc + x) AS nll_sum
+      FROM lp GROUP BY doc_id, n_words
+    )
+    SELECT doc_id, n_words,
+           round(exp(nll_sum / n_words), 6) AS perplexity
+    FROM folded
+    """,
+)
+def q37_unigram_perplexity(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(words(F.col("text"))).alias("pos0", "word"),
+        F.size(words(F.col("text"))).alias("n_words"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word", "n_words")
+    cnt = ex.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # 1-row total via broadcast cross join — stays lazy (no driver action),
+    # exactly the oracle's CROSS JOIN tot
+    tot = ex.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lp = (
+        ex.join(cnt, ["word"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            "n_words",
+            (-F.log(F.col("c") / F.col("n"))).alias("nll"),
+        )
+    )
+    folded = lp.groupBy("doc_id", "n_words").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "nll"))),
+                lambda s: s["nll"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("nll_sum")
+    )
+    return folded.select(
+        "doc_id",
+        "n_words",
+        F.round(F.exp(F.col("nll_sum") / F.col("n_words")), 6).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — exact multi-quantile per group (O-family widening): p50/p95/p99 of
+# event values per event_type. Spark's exact `percentile` aggregate and
+# DuckDB's `quantile_cont` share the (n−1)·p linear-interpolation definition.
+# At 100 TB the exact form is one shuffle on the group key; the sketch form
+# (approx_percentile / t-digest) is the knob when groups no longer fit — not
+# oracle-comparable, so the exact one is the contract query.
+# ---------------------------------------------------------------------------
+@_register(
+    "q38_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q38_quantiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -155,39 +155,6 @@ def _match_and_split(ms1: pd.DataFrame, ms2: pd.DataFrame, delta_us: int):
     return merged[ok], ms2[~parent_known.to_numpy()]
 
 
-def _clean_tokens_py(toks) -> list[int]:
-    if toks is None:
-        return []
-    arr = np.asarray(toks)
-    return arr[arr != 0].astype(int).tolist()
-
-
-def _clean_tokens_batch(toks_seq) -> tuple[list, np.ndarray]:
-    """Vectorized pad-drop over a whole emit batch: one concatenate + one
-    mask + reduceat, instead of a per-row Python loop (S8 kernel on the
-    stateful-join output path)."""
-    n = len(toks_seq)
-    lens = np.fromiter(
-        (0 if t is None else len(t) for t in toks_seq), dtype=np.int64, count=n
-    )
-    if n == 0 or lens.sum() == 0:
-        return [[] for _ in range(n)], np.zeros(n, dtype=np.int64)
-    flat = np.concatenate(
-        [np.asarray(t, dtype=np.int32) for t in toks_seq if t is not None and len(t)]
-    )
-    keep = flat != 0
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    nonempty = lens > 0
-    kept_per_row = np.zeros(n, dtype=np.int64)
-    kept_per_row[nonempty] = np.add.reduceat(keep.astype(np.int64), starts[nonempty])[
-        : nonempty.sum()
-    ]
-    clean_flat = flat[keep]
-    bounds = np.cumsum(kept_per_row)[:-1]
-    return [a for a in np.split(clean_flat, bounds)], kept_per_row
-
-
 def _shard_join_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -261,7 +228,11 @@ def _shard_join_fn(
     if len(emit) == 0:
         yield pd.DataFrame(columns=cols)
         return
-    clean, n_clean = _clean_tokens_batch(list(emit["toks"]))
+    # tokens arrive pre-cleaned (JVM-side pad-drop in stateful_shard_join);
+    # just normalize None → [] and count
+    toks = list(emit["toks"])
+    clean = [t if t is not None else [] for t in toks]
+    n_clean = np.fromiter((len(t) for t in clean), dtype=np.int64, count=len(clean))
     yield pd.DataFrame(
         {
             "ms1_doc_id": emit["ref"].to_numpy(),
@@ -313,14 +284,20 @@ def stateful_shard_join(
         .withColumn("salt", F.pmod(F.hash(parent), F.lit(n_salts)))
         .withWatermark("event_time", watermark)
         # probe-side (ms1) rows never use their tokens — null them out so
-        # they don't ride the Arrow transfer into Python (≈ half the volume)
+        # they don't ride the Arrow transfer into Python (≈ half the volume);
+        # ms2 tokens are pad-dropped (S8) HERE, JVM-side in the scan project,
+        # so the Python operator only routes already-clean arrays instead of
+        # re-cleaning them per batch (codegen'd filter vs numpy reduceat)
         .select(
             "shard",
             "salt",
             "doc_id",
             "source",
             "event_time",
-            F.when(F.col("precursor_ref").isNotNull(), F.col("tokens")).alias("tokens"),
+            F.when(
+                F.col("precursor_ref").isNotNull(),
+                F.filter("tokens", lambda x: x != F.lit(0)),
+            ).alias("tokens"),
             "precursor_ref",
         )
     )

@@ -239,8 +239,19 @@ class TestSimilarity:
         v = vecs.astype(np.float64)
         buckets = ((v @ planes.T) >= 0).astype(int) @ (1 << np.arange(similarity.N_PLANES))
         for r in out:
-            assert buckets[r.p_id] == r.bucket
+            # multi-probe: matched bucket is the NEIGHBOR's bucket, which must
+            # be within hamming ≤ 1 of the probe's own bucket
             assert buckets[r.n_id] == r.bucket
+            assert bin(int(buckets[r.p_id]) ^ int(r.bucket)).count("1") <= 1
+        # recall lift: rank-for-rank, multi-probe cosines dominate the
+        # single-bucket variant's (a wider candidate set can only improve
+        # the top-k, never worsen it)
+        sp = similarity.lsh_ann_topk(df, n_probes=3, k=5, multi_probe=False).collect()
+        for p in range(3):
+            mp_cos = [r.cosine for r in sorted(out, key=lambda r: r.rank) if r.p_id == p]
+            sp_cos = [r.cosine for r in sorted(sp, key=lambda r: r.rank) if r.p_id == p]
+            assert len(mp_cos) >= len(sp_cos)
+            assert all(m >= s for m, s in zip(mp_cos, sp_cos))
         # within each probe, ranks are 1..n with descending cosine
         for p in range(3):
             rows = sorted((r for r in out if r.p_id == p), key=lambda r: r.rank)

@@ -78,6 +78,62 @@ class TestWindows:
             for (s1, e1), (s2, _) in zip(spans, spans[1:]):
                 assert e1 <= s2, f"overlapping sessions in {s}"
 
+    def test_session_window_equals_lag_cumsum(self, spark):
+        # ties W3's two forms together: Spark's session_window (the streaming
+        # form) must equal the lag+cumsum sessionization (the q10 batch/oracle
+        # form) on the same input and gap. An event arriving exactly `gap`
+        # after the previous one MERGES (next.start <= prev.start + gap), so
+        # both forms break only on delta > gap — the same comparator q10 uses.
+        # Fixture plants that exact boundary.
+        gap = 5
+        rows = [
+            ("a", 0), ("a", 3), ("a", 7),      # one session (deltas 3, 4)
+            ("a", 12),                          # delta == gap → merges
+            ("a", 20),                          # delta > gap → new session
+            ("b", 100), ("b", 104),             # independent key
+        ]
+        df = spark.createDataFrame(rows, ["source", "t"]).select(
+            "source", F.col("t").cast("timestamp").alias("event_time")
+        )
+        sw = (
+            df.groupBy(F.session_window("event_time", f"{gap} seconds").alias("w"), "source")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "source",
+                F.unix_timestamp("w.start").alias("session_start"),
+                F.unix_timestamp("w.end").alias("session_end"),
+                "n_rows",
+            )
+        )
+        from pyspark.sql import Window
+
+        t = F.unix_timestamp("event_time")
+        lc = (
+            df.select("source", t.alias("t"))
+            .withColumn(
+                "brk",
+                F.when(F.col("t") - F.lag("t").over(
+                    Window.partitionBy("source").orderBy("t")
+                ) > gap, 1).otherwise(0),
+            )
+            .withColumn(
+                "sid",
+                F.sum("brk").over(
+                    Window.partitionBy("source").orderBy("t")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("source", "sid")
+            .agg(
+                F.min("t").alias("session_start"),
+                (F.max("t") + gap).alias("session_end"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .drop("sid")
+        )
+        cols = ["source", "session_start", "session_end", "n_rows"]
+        assert _sorted_rows(sw, cols) == _sorted_rows(lc, cols)
+
     def test_salted_equals_unsalted(self, spark, small_seq_path):
         stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=5)
         salted = windows.salted_tumbling_token_stats(

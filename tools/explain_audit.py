@@ -25,6 +25,7 @@ ALLOWED_CARTESIAN = {
     "q28_embedding_neardup",  # all-pairs baseline (the bucketed path is q30)
     "q29_cosine_topk",  # broadcast probes × corpus with != condition
     "q12_sliding_window",
+    "q35_candidate_ions",  # 20-row broadcast ion list × peaks theta-join (J3 shape)
 }
 
 
