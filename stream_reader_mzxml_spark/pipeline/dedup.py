@@ -8,15 +8,17 @@ Scale design (the point of each op at 100 TB):
 - **n-gram Jaccard**: the inverted-index self-join — explode *distinct*
   shingle hashes, equi-join on the shingle (never a cross join), count
   intersections per pair, union from per-doc sizes. Shuffle volume =
-  Σ shingles, and hot shingles (stop-phrases) are the skew axis — at scale,
-  frequent-shingle pruning (drop shingles with df > τ) bounds it.
+  Σ shingles; hot shingles (stop-phrases) are the skew axis, bounded by
+  frequent-shingle pruning (df > ``NGRAM_MAX_DF`` dropped on both sides
+  before the self-join; Jaccard exact over the pruned space).
 - **MinHash+LSH**: per-doc signature (k permutations, map-side only) →
   band-bucket equi-join (b bands of r). Only docs sharing a band bucket ever
   meet, so candidate volume is tunable via (b, r) to the target similarity.
-- **SimHash**: 32-bit signature; candidates via 8×4-bit band pigeonhole —
-  recall is *provably* 1.0 for hamming ≤ 7 (a pair differing in ≤7 bits
-  must share one of 8 disjoint 4-bit bands), so the banded plan is exactly
-  equal to the all-pairs plan the oracle runs.
+- **SimHash**: 60-bit signature (h60 = 15 md5 hex chars); candidates via
+  4×15-bit band pigeonhole — recall is *provably* 1.0 for hamming ≤ 3 (a
+  pair differing in < 4 bits must share one of 4 disjoint 15-bit bands), so
+  the banded plan is exactly equal to the all-pairs plan the oracle runs,
+  while the join key spans ~131k values (candidate volume near-linear).
 - **embedding cosine**: brute-force all-pairs here (the correctness
   baseline); the bucketed scale path is ``similarity.lsh_ann`` — same
   hyperplane construction, candidates only within a bucket.

@@ -26,6 +26,7 @@ ALLOWED_CARTESIAN = {
     "q29_cosine_topk",  # broadcast probes × corpus with != condition
     "q12_sliding_window",
     "q35_candidate_ions",  # 20-row broadcast ion list × peaks theta-join (J3 shape)
+    "q37_unigram_perplexity",  # 1-row broadcast corpus-total cross join
 }
 
 
