@@ -51,6 +51,7 @@ HEADLINE = [
     "q29_cosine_topk",
     "q35_candidate_ions",
     "q36_salted_topk",
+    "q39_candidate_ions_fused",
 ]
 
 # streaming suite sizing: rows scale with sf (sf0.1 → 200k rows ≈ 14M tokens)

@@ -135,6 +135,122 @@ def match_winners(spark, spectra: DataFrame) -> DataFrame:
     )
 
 
+def _ion_array():
+    """The ion list as an in-plan literal array<struct> (broadcast-free: the
+    constants live inside the expression tree, like the reference's closed-over
+    ``listPrecMz``)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("ion_id"),
+                F.lit(rt0).alias("rt0"),
+                F.lit(m0).alias("m0"),
+                F.lit(frag).alias("fragments"),
+            )
+            for p, rt0, m0, frag in ion_list()
+        ]
+    )
+
+
+def candidate_ions_fused(df_or_stream: DataFrame) -> DataFrame:
+    """The SAME program as ``candidate_ions``, fused into a single stateless
+    per-row projection — the shape of the reference itself, which runs the
+    whole chain inside one per-spectrum closure (libCandidateIons.sc:119-191).
+
+    Every stage is a JVM higher-order function over the row's own arrays:
+    ion match + ``head`` = ``element_at(filter(ION_LITERALS, ...), 1)`` (F.filter
+    preserves list order, so element 1 IS the stream-order head), isotope
+    probes = ordered ``aggregate`` folds, gates = plain predicates, and only
+    the surviving candidates are exploded at the end.
+
+    Scale consequences: ZERO shuffles and no joins — the plan is
+    scan → project → generate, trivially parallel at any cluster size, and
+    because it is stateless it runs unchanged on a STREAMING DataFrame (no
+    watermark needed). The relational form (``candidate_ions``) remains the
+    reference plan the oracle checks both against; equality is enforced by
+    q39 sharing q35's oracle and by ``test_fused_equals_relational``."""
+    spectra = spectra_from_embeddings(df_or_stream)
+    ions = _ion_array()
+    d0 = lambda mz: mz + F.lit(DELTA_MP0_MP1)  # noqa: E731
+    d1 = lambda mz: mz + F.lit(DELTA_MP0_MP2)  # noqa: E731
+
+    def nearest(d):
+        return F.aggregate(
+            F.col("peaks"),
+            F.element_at(F.col("peaks"), 1),
+            lambda acc, p: F.when(
+                F.abs(p["mz"] - d) < F.abs(acc["mz"] - d), p
+            ).otherwise(acc),
+        )
+
+    def ion_match(peak):
+        # try_element_at: NULL (no match) instead of an error on empty lists
+        return F.try_element_at(
+            F.filter(
+                ions,
+                lambda ion: (F.col("rt") >= ion["rt0"] - F.lit(RT_WINDOW))
+                & (F.col("rt") <= ion["rt0"] + F.lit(RT_WINDOW))
+                & (F.abs(ion["m0"] - peak["mz"]) < F.lit(MZ_TOL)),
+            ),
+            F.lit(1),
+        )
+
+    idx = F.sequence(F.lit(1), F.lit(PEAK_DIM))
+    cands = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(F.col("peaks"), i.cast("int")).alias("peak"),
+            ion_match(F.element_at(F.col("peaks"), i.cast("int"))).alias("ion"),
+        ),
+    )
+    kept = F.filter(
+        cands,
+        lambda c: (c["peak"]["intensity"] > F.lit(NOISE_INTENSITY))
+        & c["ion"].isNotNull(),
+    )
+    probed = F.transform(
+        kept,
+        lambda c: F.struct(
+            c["pos"].alias("pos"),
+            c["peak"].alias("peak"),
+            c["ion"].alias("ion"),
+            nearest(d0(c["peak"]["mz"])).alias("near1"),
+            nearest(d1(c["peak"]["mz"])).alias("near2"),
+        ),
+    )
+
+    def passes(c):
+        mz0, int0 = c["peak"]["mz"], c["peak"]["intensity"]
+        ppm0 = F.abs((c["near1"]["mz"] - d0(mz0)) / d0(mz0)) * 1e6
+        ppm1 = F.abs((c["near2"]["mz"] - d1(mz0)) / d1(mz0)) * 1e6
+        return (
+            (ppm0 < F.lit(PPM_PRECISION))
+            & (ppm1 < F.lit(PPM_PRECISION))
+            & (c["near1"]["intensity"] >= int0 * F.lit(BAND1_LO))
+            & (c["near1"]["intensity"] < int0 * F.lit(BAND1_HI))
+            & (c["near2"]["intensity"] >= int0 * F.lit(BAND2_LO))
+            & (c["near2"]["intensity"] < int0 * F.lit(BAND2_HI))
+        )
+
+    out = spectra.select(
+        "vec_id", "rt", F.explode(F.filter(probed, passes)).alias("c")
+    )
+    return out.select(
+        F.col("vec_id").alias("num"),
+        "rt",
+        F.col("c.pos").alias("pos"),
+        F.round(F.col("c.peak.mz"), 6).alias("mz0"),
+        F.col("c.peak.intensity").alias("int0"),
+        F.round(F.col("c.near1.mz"), 6).alias("mz1"),
+        F.col("c.near1.intensity").alias("int1"),
+        F.round(F.col("c.near2.mz"), 6).alias("mz2"),
+        F.col("c.near2.intensity").alias("int2"),
+        F.col("c.ion.ion_id").alias("ion_id"),
+        F.col("c.ion.fragments").alias("fragments"),
+    )
+
+
 def candidate_ions(spark, emb: DataFrame) -> DataFrame:
     """The end-to-end program; returns the rendered Ion rows."""
     spectra = spectra_from_embeddings(emb)

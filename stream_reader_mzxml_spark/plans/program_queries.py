@@ -169,6 +169,17 @@ def q35_candidate_ions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q39 — the SAME program fused into one stateless per-row projection
+# (higher-order functions only: zero shuffles, zero joins, streaming-safe) —
+# shares q35's oracle, so the driver gate itself proves the fused plan ≡ the
+# relational plan ≡ DuckDB.
+# ---------------------------------------------------------------------------
+@_register("q39_candidate_ions_fused", _q35_sql())
+def q39_candidate_ions_fused(spark, sf_dir):
+    return candidate.candidate_ions_fused(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
 # q36 — salted two-phase per-group top-K (W5 at scale): proven equal to the
 # single-phase window the oracle runs. l_returnflag has 3 values — exactly
 # the low-cardinality skew case where a plain window serializes the whole

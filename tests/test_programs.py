@@ -111,6 +111,66 @@ class TestCandidateIons:
         ).collect()[0].n
         assert got.mz == 99.0 and got.intensity == 1.0
 
+    def test_fused_equals_relational(self, spark):
+        # the zero-shuffle higher-order form must emit exactly the relational
+        # pipeline's rows (same head tie-break, same probes, same gates)
+        import numpy as np
+
+        rng = np.random.RandomState(23)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(150)
+        ]
+        emb = _emb(spark, rows)
+        cols = ["num", "rt", "pos", "mz0", "int0", "mz1", "int1",
+                "mz2", "int2", "ion_id", "fragments"]
+        rel = sorted(map(tuple, candidate.candidate_ions(spark, emb)
+                         .select(cols).collect()))
+        fus = sorted(map(tuple, candidate.candidate_ions_fused(emb)
+                         .select(cols).collect()))
+        assert len(rel) > 0
+        assert rel == fus
+
+    def test_fused_runs_on_stream(self, spark, tmp_path):
+        # stateless projection → runs unchanged as a streaming query; output
+        # must equal the batch run row-for-row
+        import uuid
+
+        import numpy as np
+
+        rng = np.random.RandomState(29)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(120)
+        ]
+        emb = _emb(spark, rows)
+        src = str(tmp_path / "emb_stream")
+        emb.repartition(4).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = candidate.candidate_ions_fused(stream)
+        name = f"fused_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = ["num", "rt", "pos", "mz0", "int0", "mz1", "int1",
+                "mz2", "int2", "ion_id", "fragments"]
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}")
+                         .select(cols).collect()))
+        exp = sorted(map(tuple, candidate.candidate_ions_fused(emb)
+                         .select(cols).collect()))
+        assert len(exp) > 0
+        assert got == exp
+
     def test_end_to_end_runs_and_filters(self, spark, tmp_path):
         # smoke the full program on a small deterministic corpus; every
         # surviving row must satisfy the ppm gates and abundance bands
