@@ -132,3 +132,70 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, w: (acc * FNV_PRIME + h32(w)) % FOLD_MOD,
     )
     return df.select("doc_id", fp.alias("fingerprint"), F.size(ws).alias("n_words"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition: how much of a doc is repeated n-grams.
+
+    The substring-level dedup signal (cf. "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022 — public): documents dominated by
+    repeated n-grams (boilerplate loops, generator glitches) are low-quality
+    training data even when no OTHER document duplicates them. Per doc:
+    distinct n-grams, total n-gram occurrences, how many distinct n-grams
+    repeat, and the fraction of occurrences belonging to repeated n-grams.
+
+    Plan: explode non-distinct n-grams → two-level groupBy (doc, gram) then
+    (doc) — both partial-aggregated; shuffle keys are (doc_id, gram) then
+    doc_id, high-cardinality and even. Docs with < n words emit no row
+    (no n-grams), matching the oracle's inner grouping.
+    """
+    ws = words(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_repeated"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+def pii_pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-pattern surface counts per document: email-shaped tokens and long
+    digit runs — the cheap first-pass filter a web-scale pipeline runs before
+    expensive NER-based PII scrubbing. Patterns are deliberately simple and
+    RE2/Java-portable so the DuckDB oracle matches exactly; pure column
+    expressions in the scan project (no shuffle)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(t, F.lit("([a-z0-9.]+@[a-z0-9.]+)"), 1)
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit("([0-9]{3,})"), 1)).alias(
+            "n_digit_runs"
+        ),
+        (
+            F.size(F.regexp_extract_all(t, F.lit("([a-z0-9.]+@[a-z0-9.]+)"), 1))
+            > 0
+        )
+        .cast("int")
+        .alias("has_pii_surface"),
+    )

@@ -330,3 +330,55 @@ def q38_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — within-document repetition (the substring-level dedup quality signal):
+# distinct/total 3-gram counts, repeated-gram count, repeated-occurrence
+# fraction per doc.
+# ---------------------------------------------------------------------------
+@_register(
+    "q40_repetition",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (
+      SELECT doc_id, ws, unnest(generate_series(1, length(ws) - 2)) AS i
+      FROM w WHERE length(ws) >= 3
+    ),
+    g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM g0
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           count(*) AS n_distinct_grams,
+           sum(c)::BIGINT AS n_grams,
+           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q40_repetition(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline.text import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q41 — PII-pattern surface counts (email-shaped tokens, long digit runs):
+# the cheap pre-NER scrub filter, pure scan-project exprs.
+# ---------------------------------------------------------------------------
+@_register(
+    "q41_pii_patterns",
+    """
+    SELECT doc_id,
+           length(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+           length(regexp_extract_all(text, '[0-9]{3,}')) AS n_digit_runs,
+           (length(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) > 0)::INT
+             AS has_pii_surface
+    FROM documents
+    """,
+)
+def q41_pii_patterns(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline.text import pii_pattern_counts
+
+    return pii_pattern_counts(_t(spark, sf_dir, "documents"))

@@ -58,6 +58,39 @@ class TestText:
         assert rows[5] == "fr"
         assert rows[4] == "und"  # no stopword hits
 
+    def test_repetition_features(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "a b c a b c a b c"),  # "a b c" ×3 (and others ×2)
+                (1, "all words here are unique now"),
+                (2, "x y"),  # < 3 words → no row
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in text.repetition_features(df).collect()}
+        assert 2 not in out
+        assert out[1].n_repeated == 0 and out[1].rep_ratio == 0.0
+        # doc 0: grams = [abc, bca, cab, abc, bca, cab, abc] → 3 distinct,
+        # 7 total, all 3 repeat, all 7 occurrences are of repeated grams
+        assert out[0].n_distinct_grams == 3
+        assert out[0].n_grams == 7
+        assert out[0].n_repeated == 3
+        assert out[0].rep_ratio == 1.0
+
+    def test_pii_pattern_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "contact me at someone@example.org or call 5551234"),
+                (1, "no pii here just words"),
+                (2, "ids 123 4567 and a@b.c"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in text.pii_pattern_counts(df).collect()}
+        assert (out[0].n_emails, out[0].n_digit_runs, out[0].has_pii_surface) == (1, 1, 1)
+        assert (out[1].n_emails, out[1].n_digit_runs, out[1].has_pii_surface) == (0, 0, 0)
+        assert (out[2].n_emails, out[2].n_digit_runs, out[2].has_pii_surface) == (1, 2, 1)
+
     def test_quality_features(self, spark, docs_df):
         rows = {r.doc_id: r for r in text.quality_features(docs_df).collect()}
         assert rows[4].quality_score == 0.0  # < 5 words
