@@ -68,5 +68,9 @@ def nonempty_filter(df: DataFrame, col: str) -> DataFrame:
 
 def nonblank_lines(df: DataFrame, col: str) -> DataFrame:
     """F9 — drop blank rendered lines (``.filter(_.trim.nonEmpty)``,
-    MainPrecursorMzMatchingGlucosinolate.scala:61)."""
-    return df.filter(F.length(F.trim(F.col(col))) > 0)
+    MainPrecursorMzMatchingGlucosinolate.scala:61).
+
+    Parity note: Scala's ``String.trim`` strips every char ≤ U+0020 (tabs,
+    newlines) while Spark's ``trim()`` strips spaces only — the faithful
+    predicate is "contains any non-whitespace" (``rlike('\\S')``)."""
+    return df.filter(F.col(col).rlike(r"\S"))

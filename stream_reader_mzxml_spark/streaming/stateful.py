@@ -70,9 +70,9 @@ STATE_SCHEMA = StructType(
 
 def split_shards(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
     """F1 — msLevel 1/2 shard split on the source prefix."""
-    ms1 = stream.filter(F.col("source").startswith("ms1-"))
-    ms2 = stream.filter(F.col("source").startswith("ms2-"))
-    return ms1, ms2
+    from stream_reader_mzxml_spark.operators.filters import shard_filter
+
+    return shard_filter(stream, 1), shard_filter(stream, 2)
 
 
 def interval_join_stream(

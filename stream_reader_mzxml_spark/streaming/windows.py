@@ -25,8 +25,10 @@ PAD_TOKEN = 0
 
 def _clean_tokens(col=None):
     """F2+S8 composition: non-null arrays, pad tokens dropped (JVM-side)."""
+    from stream_reader_mzxml_spark.operators.filters import drop_pad_tokens
+
     c = col if col is not None else F.col("tokens")
-    return F.filter(c, lambda x: x != F.lit(PAD_TOKEN))
+    return drop_pad_tokens(c, PAD_TOKEN)
 
 
 def token_stats_columns() -> list:
@@ -50,8 +52,10 @@ def prepare(stream: DataFrame, watermark: str = "30 seconds") -> DataFrame:
     All expressions are Catalyst built-ins — the scan-side filter pushes down;
     nothing leaves the JVM.
     """
+    from stream_reader_mzxml_spark.operators.filters import defined_filter
+
     return (
-        stream.filter(F.col("tokens").isNotNull())
+        defined_filter(stream, "tokens")
         .withColumn("clean_tokens", _clean_tokens())
         .withWatermark("event_time", watermark)
     )

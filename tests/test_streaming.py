@@ -185,6 +185,44 @@ class TestStatefulJoin:
         assert len(exp) > 100
         assert got == exp  # per-row token-array equality (BASELINE invariant)
 
+    def test_duplicate_ms1_delivery_is_idempotent(self, spark, small_seq_path, tmp_path):
+        """Duplicate delivery of the probe (ms1) side — the at-least-once
+        case async progress tracking can produce on recovery. The state
+        buffer dedups ms1 on doc id before the merge, so matches emit ONCE
+        and the positional unmatched mask cannot length-mismatch; output
+        must equal the batch oracle over the ORIGINAL (unduplicated) data."""
+        import shutil
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        dup_dir = str(tmp_path / "dup_ms1_seq")
+        os.makedirs(dup_dir)
+        files = sorted(
+            f for f in os.listdir(small_seq_path) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            src = os.path.join(small_seq_path, f)
+            shutil.copy(src, f"{dup_dir}/a-{i:03d}.parquet")
+            t = pq.read_table(src)
+            ms1_only = t.filter(
+                pc.starts_with(pc.field("source"), "ms1-")
+            )
+            if ms1_only.num_rows:
+                pq.write_table(ms1_only, f"{dup_dir}/b-{i:03d}.parquet")
+
+        stream = read_sequences_stream(spark, dup_dir, max_files_per_trigger=4)
+        out = stateful.stateful_shard_join(stream, watermark="30 seconds")
+        name = f"dupms1_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name)
+        got = sorted(
+            (r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds, tuple(r.clean_tokens), r.n_clean)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        exp = self._oracle_rows(spark, small_seq_path)
+        assert len(exp) > 100
+        assert got == exp  # duplicates neither crash nor double-emit
+
     def test_stateful_shard_join(self, spark, small_seq_path):
         stream = read_sequences_stream(spark, small_seq_path, max_files_per_trigger=2)
         out = stateful.stateful_shard_join(stream, watermark="30 seconds")
