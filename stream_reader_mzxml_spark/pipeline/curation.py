@@ -1,0 +1,78 @@
+"""Corpus-curation composite: one keep/drop decision per document.
+
+The end-to-end pipeline a web-scale training-data user runs over the raw
+corpus — the LLM-data analog of the reference's flagship composed program
+(libCandidateIons.sc chains filter→match→gate→render; this chains
+quality→language→repetition→PII→dedup→verdict):
+
+- quality score + language-ID + PII surface: pure column exprs in ONE scan
+  project (no shuffle);
+- within-doc repetition: two partial-aggregated groupBys, re-joined on
+  doc_id (docs too short for n-grams coalesce to 0 repetition);
+- exact-dup keeper: groupBy(md5(text)) → min doc_id, re-joined on the
+  digest (only the 16-byte digest shuffles, never the text);
+- verdict: keep iff every gate passes; ``drop_reason`` names the FIRST
+  failing gate in a fixed order (quality → repetition → pii → duplicate),
+  mirroring how curation pipelines report filter attribution.
+
+At 100 TB: 2 shuffles (doc_id join, digest group+join) on high-cardinality
+keys, everything else scan-side. Thresholds are module constants shared with
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.pipeline.text import (
+    lang_id,
+    pii_pattern_counts,
+    quality_features,
+    repetition_features,
+)
+
+MIN_QUALITY = 0.25
+MAX_REP_RATIO = 0.5
+
+
+def curate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc curation verdict over the documents table."""
+    quality = quality_features(df, text_col).select("doc_id", "quality_score")
+    lang = lang_id(df, text_col).select("doc_id", "pred_lang")
+    pii = pii_pattern_counts(df, text_col).select("doc_id", "has_pii_surface")
+    rep = repetition_features(df, text_col).select("doc_id", "rep_ratio")
+    keeper = (
+        df.select(F.md5(F.col(text_col)).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    base = (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+        .join(quality, ["doc_id"])
+        .join(lang, ["doc_id"])
+        .join(pii, ["doc_id"])
+        .join(rep, ["doc_id"], "left")
+        .join(keeper, ["h"])
+    )
+    rep_ratio = F.coalesce(F.col("rep_ratio"), F.lit(0.0))
+    fail_quality = F.col("quality_score") < MIN_QUALITY
+    fail_rep = rep_ratio > MAX_REP_RATIO
+    fail_pii = F.col("has_pii_surface") == 1
+    fail_dup = F.col("doc_id") != F.col("keeper_doc_id")
+    keep = ~(fail_quality | fail_rep | fail_pii | fail_dup)
+    reason = (
+        F.when(fail_quality, F.lit("quality"))
+        .when(fail_rep, F.lit("repetition"))
+        .when(fail_pii, F.lit("pii"))
+        .when(fail_dup, F.lit("duplicate"))
+    )
+    return base.select(
+        "doc_id",
+        "quality_score",
+        "pred_lang",
+        F.round(rep_ratio, 6).alias("rep_ratio"),
+        "has_pii_surface",
+        keep.cast("int").alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -382,3 +382,104 @@ def q41_pii_patterns(spark, sf_dir):
     from stream_reader_mzxml_spark.pipeline.text import pii_pattern_counts
 
     return pii_pattern_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q42 — corpus-curation composite: quality → language → repetition → PII →
+# exact-dedup keeper → keep/drop verdict with first-failing-gate attribution
+# (the LLM-data analog of the reference's composed flagship program).
+# ---------------------------------------------------------------------------
+def _q42_sql() -> str:
+    from stream_reader_mzxml_spark.pipeline import curation
+    from stream_reader_mzxml_spark.pipeline.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n             ".join(
+        "length(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    maxh = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN hits_{lang} = {maxh} AND {maxh} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    sw_en = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws, length(text) AS nc
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN length(ws) < 5 THEN 0.0
+                  WHEN (nc - (length(ws) - 1)) / length(ws) < 2.0 THEN 0.25
+                  ELSE round(
+                    least(1.0, (length(list_filter(ws, x ->
+                        list_contains([{sw_en}], x))) / length(ws)) * 4.0) * 0.5
+                    + least(1.0, length(ws) / 24.0) * 0.5, 6)
+             END AS quality_score
+      FROM w
+    ),
+    lh AS (
+      SELECT doc_id,
+             {hits}
+      FROM w
+    ),
+    l AS (SELECT doc_id, {pred} AS pred_lang FROM lh),
+    g0 AS (
+      SELECT doc_id, ws, unnest(generate_series(1, length(ws) - 2)) AS i
+      FROM w WHERE length(ws) >= 3
+    ),
+    g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM g0),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6)
+               AS rep_ratio
+      FROM gc GROUP BY doc_id
+    ),
+    pii AS (
+      SELECT doc_id,
+             (length(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) > 0)::INT
+               AS has_pii_surface
+      FROM documents
+    ),
+    keeper AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper_doc_id
+      FROM documents GROUP BY 1
+    ),
+    j AS (
+      SELECT d.doc_id, q.quality_score, l.pred_lang,
+             coalesce(rep.rep_ratio, 0.0) AS rep_ratio,
+             pii.has_pii_surface, k.keeper_doc_id
+      FROM documents d
+      JOIN q ON d.doc_id = q.doc_id
+      JOIN l ON d.doc_id = l.doc_id
+      JOIN pii ON d.doc_id = pii.doc_id
+      LEFT JOIN rep ON d.doc_id = rep.doc_id
+      JOIN keeper k ON md5(d.text) = k.h
+    )
+    SELECT doc_id, quality_score, pred_lang,
+           round(rep_ratio, 6) AS rep_ratio, has_pii_surface,
+           (NOT (quality_score < {curation.MIN_QUALITY}
+                 OR rep_ratio > {curation.MAX_REP_RATIO}
+                 OR has_pii_surface = 1
+                 OR doc_id != keeper_doc_id))::INT AS keep,
+           CASE WHEN quality_score < {curation.MIN_QUALITY} THEN 'quality'
+                WHEN rep_ratio > {curation.MAX_REP_RATIO} THEN 'repetition'
+                WHEN has_pii_surface = 1 THEN 'pii'
+                WHEN doc_id != keeper_doc_id THEN 'duplicate'
+           END AS drop_reason
+    FROM j
+    """
+
+
+@_register("q42_corpus_curation", _q42_sql())
+def q42_corpus_curation(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline.curation import curate
+
+    return curate(_t(spark, sf_dir, "documents"))

@@ -91,6 +91,27 @@ class TestText:
         assert (out[1].n_emails, out[1].n_digit_runs, out[1].has_pii_surface) == (0, 0, 0)
         assert (out[2].n_emails, out[2].n_digit_runs, out[2].has_pii_surface) == (1, 2, 1)
 
+    def test_corpus_curation_verdicts(self, spark):
+        from stream_reader_mzxml_spark.pipeline.curation import curate
+
+        good = "the quick brown fox jumps of the lazy dog and it runs to town"
+        rows = [
+            (0, good),                                   # keeps
+            (1, "too few"),                              # quality (< 5 words)
+            # passes quality (stopword-rich, 24 words) but every 3-gram repeats
+            (2, " ".join(["the spam of and to in"] * 4)),
+            (3, good + " mail me at a@b.org please ok"),  # pii
+            (4, good),                                   # duplicate of 0
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in curate(df).collect()}
+        assert out[0].keep == 1 and out[0].drop_reason is None
+        assert out[1].keep == 0 and out[1].drop_reason == "quality"
+        assert out[2].keep == 0 and out[2].drop_reason == "repetition"
+        assert out[3].keep == 0 and out[3].drop_reason == "pii"
+        assert out[4].keep == 0 and out[4].drop_reason == "duplicate"
+        assert out[0].pred_lang == "en"
+
     def test_quality_features(self, spark, docs_df):
         rows = {r.doc_id: r for r in text.quality_features(docs_df).collect()}
         assert rows[4].quality_score == 0.0  # < 5 words
