@@ -483,3 +483,26 @@ def q42_corpus_curation(spark, sf_dir):
     from stream_reader_mzxml_spark.pipeline.curation import curate
 
     return curate(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q43 — sketch statistics: HyperLogLog++ distinct users and approximate
+# quantiles per event_type. Registered WITHOUT an oracle on purpose: sketches
+# are estimation algorithms whose exact outputs are implementation-defined
+# (DuckDB's approx_count_distinct uses a different HLL register layout), so
+# the driver records the weaker rows-only check here while
+# tests/test_pipeline.py pins the estimates against exact values with the
+# algorithms' published error bounds (HLL++ rsd, percentile_approx accuracy).
+# At 100 TB these ARE the production path q38's exact forms degrade to:
+# fixed-size mergeable state, partial→final aggregation, no full sort and
+# no per-group materialization.
+# ---------------------------------------------------------------------------
+@_register("q43_sketch_stats")
+def q43_sketch_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("value", 0.99, 10000).alias("ap99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -91,6 +91,38 @@ class TestText:
         assert (out[1].n_emails, out[1].n_digit_runs, out[1].has_pii_surface) == (0, 0, 0)
         assert (out[2].n_emails, out[2].n_digit_runs, out[2].has_pii_surface) == (1, 2, 1)
 
+    def test_sketch_stats_within_error_bounds(self, spark):
+        # HLL++ (rsd 2 %) and percentile_approx (accuracy 10k) estimates must
+        # sit within their published error bounds of the exact answers
+        rows = [
+            (i, i % 997, "t" + str(i % 3), float((i * 37) % 1000))
+            for i in range(20_000)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        approx = {
+            r.event_type: r
+            for r in df.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("u"),
+                F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            )
+            .collect()
+        }
+        exact = {
+            r.event_type: r
+            for r in df.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("u"),
+                F.expr("percentile(value, 0.5)").alias("p50"),
+            )
+            .collect()
+        }
+        for k in exact:
+            assert abs(approx[k].u - exact[k].u) <= max(3, 0.06 * exact[k].u)
+            assert abs(approx[k].p50 - exact[k].p50) <= 10.0
+
     def test_corpus_curation_verdicts(self, spark):
         from stream_reader_mzxml_spark.pipeline.curation import curate
 
