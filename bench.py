@@ -217,11 +217,11 @@ def bench_once(
     conf = {
         # push state-store snapshot maintenance out of the measured window
         "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
-        # take the offset/commit-log WAL off the micro-batch critical path —
-        # the per-batch serial term that caps scaling efficiency (Amdahl);
-        # the recovery trade-off (at-least-once replay of the last batches on
-        # failure) is the documented production setting for this suite
-        "spark.sql.streaming.asyncProgressTracking.enabled": "true",
+        # NOTE: async progress tracking was evaluated as a WAL-off-critical-
+        # path lever and found unusable here — in OSS Spark 4.1 it is a
+        # per-query writer option (the session conf is inert) and rejects
+        # both AvailableNow triggers and ForeachBatch/noop sinks
+        # (Kafka-sink-only). See BASELINE.md round-2 notes.
     }
     conf.update(extra_conf or {})
     spark = get_spark(

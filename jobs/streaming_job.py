@@ -45,27 +45,20 @@ def main() -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--continuous", action="store_true")
     ap.add_argument("--trigger-interval", default="10 seconds")
-    ap.add_argument(
-        "--async-progress",
-        action="store_true",
-        help="take the offset/commit WAL off the critical path (throughput "
-        "mode; at-least-once replay of trailing batches on failure — the "
-        "sink's batch-id-idempotent commits absorb the replay)",
-    )
     args = ap.parse_args()
 
     # master / executor topology comes from spark-submit; only pin the
-    # semantics-critical session configs here
-    builder = (
+    # semantics-critical session configs here. (Async progress tracking is
+    # NOT offered: in OSS Spark 4.1 it is Kafka-sink-only — it rejects
+    # ForeachBatch sinks and AvailableNow triggers, i.e. both modes this
+    # job runs. The exactly-once contract here rests on the batch-id-
+    # idempotent foreachBatch commits instead.)
+    spark = (
         SparkSession.builder.appName(f"token-stream-{args.suite}")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
     )
-    if args.async_progress:
-        builder = builder.config(
-            "spark.sql.streaming.asyncProgressTracking.enabled", "true"
-        )
-    spark = builder.getOrCreate()
 
     from stream_reader_mzxml_spark.sources.readers import read_sequences_stream
     from stream_reader_mzxml_spark.streaming.sink import start_exactly_once

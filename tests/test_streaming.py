@@ -187,7 +187,7 @@ class TestStatefulJoin:
 
     def test_duplicate_ms1_delivery_is_idempotent(self, spark, small_seq_path, tmp_path):
         """Duplicate delivery of the probe (ms1) side — the at-least-once
-        case async progress tracking can produce on recovery. The state
+        case any source replay on recovery can produce. The state
         buffer dedups ms1 on doc id before the merge, so matches emit ONCE
         and the positional unmatched mask cannot length-mismatch; output
         must equal the batch oracle over the ORIGINAL (unduplicated) data."""
