@@ -486,6 +486,181 @@ def q42_corpus_curation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q44 — precursor-match scoring program (MainPrecursorMzMatchingGlucosinolate
+# .scala:90-120 + IonEligibleGlucosinolate.scala:42-59): per spectrum, one
+# candidate per nested precursor entry; scoreDaughterIons = #DI reference
+# masses with a fragment within 0.2; scoreNeutralLoss = #NL references where
+# (m0 − nl) > 0 and a fragment lies within 0.1 of the loss target; keep
+# entries with scDI ≥ min && scNL ≥ min (the Seq.filter at :116-118), drop
+# spectra left empty (F8 nonEmpty at :119), render the reference's
+# ';'-joined report line (IonEligibleGlucosinolate.toString). Fused per-row
+# (higher-order fns, zero shuffles, streaming-safe) exactly like q39 —
+# the reference computes inside one per-spectrum closure too.
+# ---------------------------------------------------------------------------
+_Q44_DI = [74.99, 80.0, 96.95, 103.4, 110.97, 118.93, 127.5, 135.97]
+_Q44_NL = [20.0, 31.7, 43.4, 55.1, 66.8, 78.5]
+_Q44_DI_TOL = 0.2
+_Q44_NL_TOL = 0.1
+_Q44_MIN_DI = 1  # reference defaults (MainPrecursorMzMatchingGlucosinolate.scala:93-94)
+_Q44_MIN_NL = 1
+_Q44_NPREC_MOD = 5
+
+
+def _q44_sql() -> str:
+    from stream_reader_mzxml_spark.pipeline import candidate as c
+
+    di = "[" + ", ".join(str(v) for v in _Q44_DI) + "]"
+    nl = "[" + ", ".join(str(v) for v in _Q44_NL) + "]"
+    m = _Q44_NPREC_MOD
+    return f"""
+    WITH sp AS (
+      SELECT vec_id,
+             ((vec_id * 7) % 3600)::BIGINT AS rt,
+             list_transform(generate_series(1, {c.PEAK_DIM}), i ->
+               {{'mz': 100.0 + embedding[i]::DOUBLE * 10,
+                 'intensity': (((vec_id * {c.PEAK_DIM} + i - 1) * 37) % 1000)::DOUBLE}}
+             ) AS peaks
+      FROM embeddings
+    ),
+    frag AS (
+      SELECT vec_id, rt,
+             list_filter(peaks, p -> p.intensity > 0) AS fragments
+      FROM sp
+    ),
+    scored_sp AS (
+      SELECT vec_id, rt, fragments,
+             length(list_filter({di}, r ->
+               length(list_filter(fragments, p ->
+                 abs(r - p.mz) < {_Q44_DI_TOL})) > 0)) AS score_di
+      FROM frag
+    ),
+    prec AS (
+      SELECT s.vec_id, s.rt, s.fragments, s.score_di, g.i,
+             150.0 + e.embedding[g.i]::DOUBLE * 20 AS m0,
+             coalesce(
+               CASE WHEN ((s.vec_id * {m} + g.i - 1) % 19) = 0 THEN NULL
+                    ELSE (((s.vec_id * {m} + g.i - 1) * 37) % 1000)::DOUBLE END,
+               -1.0) AS i0
+      FROM scored_sp s
+      JOIN embeddings e ON s.vec_id = e.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, {m})) AS i) g
+      WHERE g.i <= (s.vec_id % {m}) + 1
+    ),
+    scored AS (
+      SELECT vec_id, rt, m0, i0, score_di,
+             length(list_filter({nl}, nl ->
+               (m0 - nl) > 0 AND
+               length(list_filter(fragments, p ->
+                 abs((m0 - nl) - p.mz) < {_Q44_NL_TOL})) > 0)) AS score_nl
+      FROM prec
+    )
+    SELECT vec_id AS num, rt,
+           round(m0, 4) AS m0, i0, score_di, score_nl,
+           rt::VARCHAR || ';2;' || num::VARCHAR || ';' ||
+             printf('%.4f', round(m0, 4)) || ';' || printf('%.1f', i0) || ';' ||
+             (score_nl + score_di)::VARCHAR || ';' || score_nl::VARCHAR || ';' ||
+             score_di::VARCHAR AS report
+    FROM (SELECT vec_id, vec_id AS num, rt, m0, i0, score_di, score_nl
+          FROM scored
+          WHERE score_di >= {_Q44_MIN_DI} AND score_nl >= {_Q44_MIN_NL})
+    """
+
+
+@_register("q44_precursor_match_scores", _q44_sql())
+def q44_precursor_match_scores(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline import candidate as c
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sp = c.spectra_from_embeddings(emb).withColumn(
+        "rt", F.col("rt").cast("long")
+    )
+    fragments = F.filter(F.col("peaks"), lambda p: p["intensity"] > 0)
+    di_arr = F.array(*[F.lit(v) for v in _Q44_DI])
+    nl_arr = F.array(*[F.lit(v) for v in _Q44_NL])
+    score_di = F.size(
+        F.filter(
+            di_arr,
+            lambda r: F.exists(
+                F.col("fragments"), lambda p: F.abs(r - p["mz"]) < _Q44_DI_TOL
+            ),
+        )
+    )
+    m = _Q44_NPREC_MOD
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_prec = (F.pmod(F.col("vec_id"), F.lit(m)) + 1).cast("int")
+
+    def scan_num(i):
+        return F.col("vec_id") * m + i
+
+    precs = F.transform(
+        F.sequence(F.lit(0), n_prec - 1),
+        lambda i: F.struct(
+            (F.lit(150.0) + F.element_at(v, (i + 1).cast("int")) * 20).alias("m0"),
+            F.coalesce(
+                F.when(F.pmod(scan_num(i), F.lit(19)) == 0, F.lit(None)).otherwise(
+                    F.pmod(scan_num(i) * 37, F.lit(1000)).cast("double")
+                ),
+                F.lit(-1.0),
+            ).alias("i0"),
+        ),
+    )
+
+    def score_nl(m0):
+        return F.size(
+            F.filter(
+                nl_arr,
+                lambda nl: ((m0 - nl) > 0)
+                & F.exists(
+                    F.col("fragments"),
+                    lambda p: F.abs((m0 - nl) - p["mz"]) < _Q44_NL_TOL,
+                ),
+            )
+        )
+
+    scored = F.transform(
+        precs,
+        lambda pr: F.struct(
+            pr["m0"].alias("m0"),
+            pr["i0"].alias("i0"),
+            score_nl(pr["m0"]).alias("score_nl"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.col("score_di") >= _Q44_MIN_DI)
+        & (s["score_nl"] >= _Q44_MIN_NL),
+    )
+    out = (
+        sp.join(emb.select("vec_id", "embedding"), ["vec_id"])
+        .withColumn("fragments", fragments)
+        .withColumn("score_di", score_di)
+        .select(
+            "vec_id", "rt", "score_di", F.explode(kept).alias("s")
+        )
+    )
+    m0r = F.round(F.col("s.m0"), 4)
+    return out.select(
+        F.col("vec_id").alias("num"),
+        "rt",
+        m0r.alias("m0"),
+        F.col("s.i0").alias("i0"),
+        "score_di",
+        F.col("s.score_nl").alias("score_nl"),
+        F.concat_ws(
+            ";",
+            F.col("rt").cast("string"),
+            F.lit("2"),
+            F.col("vec_id").cast("string"),
+            F.format_string("%.4f", m0r),
+            F.format_string("%.1f", F.col("s.i0")),
+            (F.col("s.score_nl") + F.col("score_di")).cast("string"),
+            F.col("s.score_nl").cast("string"),
+            F.col("score_di").cast("string"),
+        ).alias("report"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q43 — sketch statistics: HyperLogLog++ distinct users and approximate
 # quantiles per event_type. Registered WITHOUT an oracle on purpose: sketches
 # are estimation algorithms whose exact outputs are implementation-defined
