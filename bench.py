@@ -346,6 +346,9 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    bad = [kv for kv in args.conf if "=" not in kv]
+    if bad:
+        ap.error(f"--conf expects K=V, got: {', '.join(bad)}")
     extra_conf = dict(kv.split("=", 1) for kv in args.conf)
     os.makedirs(CACHE_DIR, exist_ok=True)
     if args.scaling:

@@ -37,6 +37,19 @@ PLUS1_ABUNDANCE: dict[str, float] = {
     "P": 0.0,
 }
 
+# per-element isotope-abundance sequences [M, M+1, M+2, ...] at the precision
+# the reference's band filters use (public natural-abundance values; same
+# capability as ChemicalConst.scala:12-19 ``abundanceIsotope``) — these feed
+# the isValidIsotope C/S envelopes (MainGlucosinolates.scala:181-191)
+ABUNDANCE_ISOTOPE: dict[str, list[float]] = {
+    "C": [1.0, 0.0108],
+    "H": [1.0, 0.00012],
+    "O": [1.0, 0.0004, 0.002],
+    "S": [1.0, 0.00789, 0.0444],
+    "N": [1.0, 0.0037],
+    "Cl": [1.0, 0.0, 0.3198],
+}
+
 _FORMULA_RE = re.compile(r"([A-Z][a-z]?)(\d*)")
 
 

@@ -246,7 +246,7 @@ def pairwise_diffs_udf(arrays: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def pairwise_diff_counts(df, array_col: str, fix: float = 100.0):
+def pairwise_diff_counts(df, array_col: str, fix: float = 100.0, spread: bool = True):
     """J4 + A3 fused with map-side partial aggregation INSIDE the kernel.
 
     The naive plan (pairwise_diffs_udf → explode → groupBy) ships every raw
@@ -280,11 +280,15 @@ def pairwise_diff_counts(df, array_col: str, fix: float = 100.0):
             yield pd.DataFrame({"diff": vals, "cnt": cnts.astype(np.int64)})
 
     src = df.select(array_col)
-    # a single-file local read gives one partition — the O(len²) Python work
-    # must spread over the cores. repartition unconditionally: checking
-    # src.rdd.getNumPartitions() first forces a driver-side RDD conversion
-    # of the analyzed plan, which costs more than the round-robin exchange
-    # it occasionally saves; on a well-partitioned table AQE coalesces it.
-    src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # ``spread=True`` (the few-file/local default) round-robins the rows so
+    # the O(len²) Python work covers every core — necessary when the source
+    # is a single file (one scan task). On an already well-partitioned large
+    # table this exchange of the heavy array column is pure cost (AQE can
+    # coalesce but never elide a user repartition), so callers there pass
+    # spread=False. A metadata probe (src.rdd.getNumPartitions()) is NOT a
+    # substitute: it forces a driver-side RDD conversion of the analyzed
+    # plan, which costs more than the exchange it occasionally saves.
+    if spread:
+        src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
     partial = src.mapInPandas(gen, "diff double, cnt long")
     return partial.groupBy("diff").agg(F.sum("cnt").alias("cnt"))

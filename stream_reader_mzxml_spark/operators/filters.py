@@ -71,6 +71,8 @@ def nonblank_lines(df: DataFrame, col: str) -> DataFrame:
     MainPrecursorMzMatchingGlucosinolate.scala:61).
 
     Parity note: Scala's ``String.trim`` strips every char ≤ U+0020 (tabs,
-    newlines) while Spark's ``trim()`` strips spaces only — the faithful
-    predicate is "contains any non-whitespace" (``rlike('\\S')``)."""
-    return df.filter(F.col(col).rlike(r"\S"))
+    newlines, AND other C0 controls like \\x01), while Java's ``\\S`` only
+    excludes ``[ \\t\\n\\x0B\\f\\r]`` — so the exact-parity predicate is
+    "contains any char above U+0020" (``rlike('[^\\x00-\\x20]')``), not
+    ``rlike('\\S')`` which would keep a line of \\x01s the reference drops."""
+    return df.filter(F.col(col).rlike(r"[^\x00-\x20]"))

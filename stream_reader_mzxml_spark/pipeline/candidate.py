@@ -71,9 +71,15 @@ def ion_list() -> list[tuple[int, float, float, str]]:
     return out
 
 
-def spectra_from_embeddings(emb: DataFrame) -> DataFrame:
+def spectra_from_embeddings(emb: DataFrame, keep_embedding: bool = False) -> DataFrame:
     """Spectrum model over embeddings: rt = (vec_id·7) mod 3600; peak i has
-    mz = 100 + component·10 and a portable arithmetic-hash intensity."""
+    mz = 100 + component·10 and a portable arithmetic-hash intensity.
+
+    ``keep_embedding=True`` carries the raw embedding column through the
+    projection — for programs (q44) that derive BOTH the peak list and a
+    second per-row structure from the same source row; keeping it row-local
+    avoids a self-join (and therefore keeps those plans shuffle-free and
+    streaming-safe)."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     peaks = F.transform(
         F.sequence(F.lit(0), F.lit(PEAK_DIM - 1)),
@@ -84,11 +90,14 @@ def spectra_from_embeddings(emb: DataFrame) -> DataFrame:
             .alias("intensity"),
         ),
     )
-    return emb.select(
-        "vec_id",
+    cols = [
+        F.col("vec_id"),
         F.pmod(F.col("vec_id") * 7, F.lit(3600)).cast("double").alias("rt"),
         peaks.alias("peaks"),
-    )
+    ]
+    if keep_embedding:
+        cols.insert(1, F.col("embedding"))
+    return emb.select(*cols)
 
 
 def _nearest(peaks_col, d):

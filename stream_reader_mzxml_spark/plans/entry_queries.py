@@ -655,3 +655,16 @@ from stream_reader_mzxml_spark.plans.program_queries import (  # noqa: E402
 
 QUERIES.update(PROGRAM_QUERIES)
 ORACLES.update(PROGRAM_ORACLES)
+
+# ---------------------------------------------------------------------------
+# q43b/q45-q47 — sketch-bound oracle + the last composed reference programs
+# (MainGlucosinolates, databaseIons.sc, glucosinolateIons.sc) from
+# plans.report_queries
+# ---------------------------------------------------------------------------
+from stream_reader_mzxml_spark.plans.report_queries import (  # noqa: E402
+    REPORT_ORACLES,
+    REPORT_QUERIES,
+)
+
+QUERIES.update(REPORT_QUERIES)
+ORACLES.update(REPORT_ORACLES)

@@ -277,7 +277,15 @@ def q37_unigram_perplexity(spark, sf_dir):
     # exactly the oracle's CROSS JOIN tot
     tot = ex.agg(F.count(F.lit(1)).cast("double").alias("n"))
     lp = (
-        ex.join(cnt, ["word"])
+        # BROADCAST the word-count dictionary: it is vocabulary-sized
+        # (~1-10 M rows at any corpus scale — Heaps' law), while `ex` is one
+        # row per token OCCURRENCE with a Zipf-hot key ("the"); a shuffle
+        # hash join on the raw word would put the whole head of the Zipf
+        # distribution through single reducers at 100 TB. Broadcasting makes
+        # the lookup map-side and removes the skewed shuffle entirely. If the
+        # vocabulary ever exceeds broadcast reach, the fallback is salting
+        # the top-df words, not a plain shuffle join.
+        ex.join(F.broadcast(cnt), ["word"])
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -566,12 +574,17 @@ def _q44_sql() -> str:
     """
 
 
-@_register("q44_precursor_match_scores", _q44_sql())
-def q44_precursor_match_scores(spark, sf_dir):
+def precursor_match_scores(emb: DataFrame) -> DataFrame:
+    """The q44 program as a standalone plan over an embeddings(-shaped)
+    DataFrame — batch or streaming. Fully fused: the spectrum model, the
+    fragment list, both scores and the per-precursor expansion are all
+    computed in ONE stateless projection from the input row (no self-join —
+    the peaks AND the raw embedding are both row-local), so the plan is
+    scan → project → generate with zero shuffles, and runs unchanged on a
+    streaming DataFrame exactly like q39's fused CandidateIons."""
     from stream_reader_mzxml_spark.pipeline import candidate as c
 
-    emb = _t(spark, sf_dir, "embeddings")
-    sp = c.spectra_from_embeddings(emb).withColumn(
+    sp = c.spectra_from_embeddings(emb, keep_embedding=True).withColumn(
         "rt", F.col("rt").cast("long")
     )
     fragments = F.filter(F.col("peaks"), lambda p: p["intensity"] > 0)
@@ -631,8 +644,7 @@ def q44_precursor_match_scores(spark, sf_dir):
         & (s["score_nl"] >= _Q44_MIN_NL),
     )
     out = (
-        sp.join(emb.select("vec_id", "embedding"), ["vec_id"])
-        .withColumn("fragments", fragments)
+        sp.withColumn("fragments", fragments)
         .withColumn("score_di", score_di)
         .select(
             "vec_id", "rt", "score_di", F.explode(kept).alias("s")
@@ -658,6 +670,11 @@ def q44_precursor_match_scores(spark, sf_dir):
             F.col("score_di").cast("string"),
         ).alias("report"),
     )
+
+
+@_register("q44_precursor_match_scores", _q44_sql())
+def q44_precursor_match_scores(spark, sf_dir):
+    return precursor_match_scores(_t(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

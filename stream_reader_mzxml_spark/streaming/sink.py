@@ -48,10 +48,17 @@ def _batch_writer(out_dir: str, lineage_dir: str, token_col: str | None):
         batch_df = batch_df.withColumn("__pid", F.spark_partition_id())
         batch_df.persist()
         try:
-            # coalesce: with ANSI off, size(NULL) = -1 — null-token rows
-            # (datagen emits ~0.5%) would silently undercount the total
+            # explicit null guard, correct in BOTH ANSI modes: with ANSI off
+            # size(NULL) = -1 (coalesce wouldn't catch it and the sum would
+            # undercount by 1 per null-token row); with ANSI on it's NULL.
+            # when(isNotNull, size).otherwise(0) counts null-token rows as 0
+            # either way. (datagen emits ~0.5% null-token rows.)
             n_tok_expr = (
-                F.sum(F.coalesce(F.size(token_col), F.lit(0))).alias("n_tokens")
+                F.sum(
+                    F.when(
+                        F.col(token_col).isNotNull(), F.size(token_col)
+                    ).otherwise(F.lit(0))
+                ).alias("n_tokens")
                 if token_col
                 else F.lit(0).cast("long").alias("n_tokens")
             )
@@ -109,7 +116,12 @@ def start_exactly_once(
         "rates",
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.sum(F.coalesce(F.size(token_col), F.lit(0)))
+            # same both-ANSI-modes null guard as _batch_writer
+            F.sum(
+                F.when(F.col(token_col).isNotNull(), F.size(token_col)).otherwise(
+                    F.lit(0)
+                )
+            )
             if token_col
             else F.lit(0)
         ).alias("n_tokens"),

@@ -1,0 +1,137 @@
+"""Tests for the round-3 report battery: a hand-computed golden spectrum for
+q45 (MainGlucosinolates end-to-end), a hand-computed db-lookup golden for q46
+(databaseIons.sc), and the q44 streaming row-for-row equality check (the
+fused precursor-match program is stateless and must run unchanged on a
+stream, mirroring q39's test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_reader_mzxml_spark.plans import report_queries as rq
+from stream_reader_mzxml_spark.plans.program_queries import precursor_match_scores
+
+
+def _write_embeddings(spark, tmp_path, rows, name="sf"):
+    """Materialize an embeddings.parquet under a tmp sf_dir and return it."""
+    sf = tmp_path / name
+    sf.mkdir()
+    spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").write.parquet(
+        str(sf / "embeddings.parquet")
+    )
+    return str(sf)
+
+
+@pytest.mark.spark
+class TestGlucosinolatesGolden:
+    def test_q45_hand_computed_spectrum(self, spark, tmp_path):
+        # vec_id=100 → rt = (100·7) % 3600 = 700 ∈ [100, 3500] (rt gate ok);
+        # intensity(j) = ((6400 + j)·37) % 1000 = (800 + 37j) % 1000:
+        #   j=0 → 800, j=7 → 59, j=8 → 96.
+        # Components (float32-exact values):
+        #   v[0] = 0      → mz0 = 100.0,   int0 = 800 > 500 (M0 candidate)
+        #   v[7] = 0.125  → mz  = 101.25   (nearest to mz0+1,      int1 = 59)
+        #   v[8] = 0.1875 → mz  = 101.875  (nearest to mz0+1.9958, int2 = 96)
+        #   v[j] = 30 + j elsewhere → mz ≥ 400, 10 apart: every far peak's
+        #   nearest-to-(mz+1) probe is ITSELF → int1/int0 = 1 fails the carbon
+        #   band AND |mz2−mz0−Δ| ≈ 2 fails precision → only j=0 survives.
+        # Gates for j=0, by hand:
+        #   |101.875 − 100 − 1.9958| = 0.1208 < 0.5                 (precision)
+        #   59  ∈ [800·0.0108·3,  800·0.0108·35) = [25.92, 302.4)   (carbon)
+        #   96  ∈ [800·0.0444·1.5, 800·0.0444·5) = [53.28, 177.6)   (sulfur)
+        v = [30.0 + j for j in range(64)]
+        v[0], v[7], v[8] = 0.0, 0.125, 0.1875
+        sf = _write_embeddings(spark, tmp_path, [(100, v)])
+
+        rows = rq.q45_glucosinolates(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.num, r.pos, r.rt) == (100, 1, 700.0)
+        assert (r.mz0, r.int0) == (100.0, 800.0)
+        assert (r.mz1, r.int1) == (101.25, 59.0)
+        assert (r.mz2, r.int2) == (101.875, 96.0)
+        assert (r.rank, r.n_spectra) == (1, 1)
+        assert r.line == "700.0;100.000000;800.0;101.250000;59.0;101.875000;96.0"
+
+    def test_q45_rt_gate_excludes_spectrum(self, spark, tmp_path):
+        # vec_id=14 → rt = 98 < 100 → dropped by the rt range gate AND
+        # excluded from the two-pass n_spectra count (MainGlucosinolates
+        # .scala:105-113 counts the FILTERED stream)
+        v = [30.0 + j for j in range(64)]
+        v[0], v[7], v[8] = 0.0, 0.125, 0.1875
+        sf = _write_embeddings(spark, tmp_path, [(14, v)])
+        assert rq.q45_glucosinolates(spark, sf).count() == 0
+
+
+@pytest.mark.spark
+class TestDatabaseIonsGolden:
+    def test_q46_single_match_render(self, spark, tmp_path):
+        # db entry ID3 sits at mz 80 + 3·3.7 = 91.1; v[0] = -0.89 puts peak 1
+        # at mz ≈ 91.10000038 — within the 2000 ppm window (±0.1822) of ID3
+        # only. int(j=0) = 800 > 500. All other peaks at mz ≥ 400 match no db
+        # entry (db max 124.4) → exactly one rendered row.
+        assert rq._Q46_DB[2] == ("ID3", 91.1)
+        v = [30.0 + j for j in range(64)]
+        v[0] = -0.89
+        sf = _write_embeddings(spark, tmp_path, [(100, v)])
+
+        rows = rq.q46_database_ions(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.num, r.rt, r.ms_level, r.pos) == (100, 700, 1, 1)
+        assert r.mz == pytest.approx(91.1, abs=1e-5)
+        assert r.int0 == 800.0
+        assert r.ids == "Set(ID3)"
+        assert r.line == "700;1;100;91.100000;Set(ID3)"
+
+    def test_q46_below_noise_dropped(self, spark, tmp_path):
+        # vec_id=5 → intensity(j=0) = ((320)·37) % 1000 = 840 > 500 passes;
+        # use j=6 (int = (840+222)%1000 = 62 < 500): a db-matching mz on a
+        # below-noise peak must NOT produce a row (noise filter precedes the
+        # db lookup, databaseIons.sc:42-44)
+        v = [30.0 + j for j in range(64)]
+        v[6] = -0.89  # mz ≈ 91.1 = ID3, but intensity 62 < 500
+        sf = _write_embeddings(spark, tmp_path, [(5, v)])
+        assert rq.q46_database_ions(spark, sf).count() == 0
+
+
+@pytest.mark.spark
+class TestPrecursorMatchStreaming:
+    def test_q44_runs_on_stream_row_for_row(self, spark, tmp_path):
+        # the fused program is a stateless projection → identical rows when
+        # run as a micro-batched stream (the q39 treatment for q44)
+        import uuid
+
+        import numpy as np
+
+        rng = np.random.RandomState(31)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(120)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        src = str(tmp_path / "emb_stream")
+        emb.repartition(4).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = precursor_match_scores(stream)
+        name = f"q44s_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = ["num", "rt", "m0", "i0", "score_di", "score_nl", "report"]
+        got = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {name}").select(cols).collect())
+        )
+        exp = sorted(map(tuple, precursor_match_scores(emb).select(cols).collect()))
+        assert len(exp) > 0
+        assert got == exp

@@ -13,14 +13,18 @@ from pyspark.sql import functions as F
 class TestTrivialExprs:
     def test_f9_blank_line_filter(self, spark):
         # F9 — `.filter(_.trim.nonEmpty)` (MainPrecursorMzMatchingGlucosinolate.scala:61)
-        # parity subtlety: Spark's F.trim strips SPACES only, while Scala's
-        # String.trim strips all chars <= U+0020 (tabs, newlines) — the
-        # faithful Spark expression is rlike("\\S") (any non-whitespace)
+        # parity subtlety: Scala's String.trim strips EVERY char <= U+0020
+        # (tabs, newlines, other C0 controls like \x01), Spark's F.trim
+        # strips spaces only, and Java's \S keeps a line of \x01s — the
+        # exact-parity predicate is rlike('[^\x00-\x20]')
+        from stream_reader_mzxml_spark.operators.filters import nonblank_lines
+
         df = spark.createDataFrame(
-            [("a",), ("  ",), ("",), ("\tb \n",), (" \n\t ",)], ["line"]
+            [("a",), ("  ",), ("",), ("\tb \n",), (" \n\t ",), ("\x01\x02",)],
+            ["line"],
         )
-        kept = [r.line for r in df.filter(F.col("line").rlike("\\S")).collect()]
-        assert kept == ["a", "\tb \n"]
+        kept = [r.line for r in nonblank_lines(df, "line").collect()]
+        assert kept == ["a", "\tb \n"]  # \x01\x02 dropped, like Scala trim
 
     def test_c11_contains_at_and_uri(self, spark):
         # C11 — contact-email / URI sniffing exprs (MzXMLTags contact fields)
