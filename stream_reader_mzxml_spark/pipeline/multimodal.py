@@ -3,12 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct —
 exactly how the reference treats its packed peak blobs (base64 →
 ``MzXMLTags.scala:297-327``): payload stays opaque until a vectorized kernel
-decodes it. The Spark-side plumbing here is real and tested — schema, Arrow
-batch shape over ``mapInPandas``, partition-preserving projection — while the
-actual codec call is stubbed (no image/audio libs in this container):
-``decode_stub=True`` computes a deterministic fake feature from the raw
-bytes; ``decode_stub=False`` raises ``NotImplementedError`` where a real
-pillow/ffmpeg call would go.
+decodes it. The Spark-side plumbing is real and tested — schema, Arrow batch
+shape over ``mapInPandas``, partition-preserving projection — and so is ONE
+codec: binary PNM images (PGM/PPM) decode in pure numpy (``decode_pnm``),
+no imaging library required. ``decode_stub=True`` computes a deterministic
+fake feature from the raw bytes (any media type); ``decode_stub=False``
+really decodes PNM payloads and raises ``NotImplementedError`` for media
+types whose codecs (pillow/ffmpeg) this container lacks.
 
 At 100 TB: payload columns dominate scan bytes, so every query that does not
 need them must project them out *before* any shuffle (column pruning does
@@ -83,6 +84,53 @@ def _fake_feature(buf: bytes, dim: int = 4) -> list[float]:
     return [round(float(c.mean()) if len(c) else 0.0, 6) for c in chunks]
 
 
+def decode_pnm(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL image decode for the binary PNM family — no imaging library
+    needed: P5 (PGM, 1 channel) and P6 (PPM, 3 channels) are a plain-text
+    header (magic, width, height, maxval; ``#`` comments allowed) followed by
+    raw big-endian samples (1 byte/sample for maxval < 256, else 2).
+
+    Returns ``(pixels, width, height)`` with pixels shaped (height, width,
+    channels) as float64 in [0, maxval].
+    """
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    channels = 3 if buf[1:2] == b"6" else 1
+
+    # header tokenizer: whitespace-separated ints, '#' comments to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PNM header")
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    width, height, maxval = tokens
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = width * height * channels
+    raster = buf[pos : pos + n * dt.itemsize]
+    if len(raster) != n * dt.itemsize:
+        raise ValueError("truncated PNM raster")
+    px = np.frombuffer(raster, dtype=dt).astype(np.float64)
+    return px.reshape(height, width, channels), width, height
+
+
+def _pnm_feature(buf: bytes, dim: int = 4) -> list[float]:
+    """Per-channel pixel means (zero-padded to ``dim``) from a real decode."""
+    px, _w, _h = decode_pnm(buf)
+    means = [round(float(px[:, :, c].mean()), 6) for c in range(px.shape[2])]
+    return (means + [0.0] * dim)[:dim]
+
+
 def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode / feature-extract payloads via ``mapInPandas``.
 
@@ -92,13 +140,27 @@ def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode needs pillow/ffmpeg — not in this container"
-                )
-            feats = [
-                _fake_feature(b) if b is not None else None for b in pdf["payload"]
-            ]
+            if decode_stub:
+                feats = [
+                    _fake_feature(b) if b is not None else None
+                    for b in pdf["payload"]
+                ]
+            else:
+                # real-decode path: PNM images decode in pure numpy (no
+                # pillow needed); every other media type still needs a codec
+                # library this container lacks
+                feats = []
+                for mt, b in zip(pdf["media_type"], pdf["payload"]):
+                    if b is None:
+                        feats.append(None)
+                    elif mt in ("image/ppm", "image/pgm", "image/x-portable-pixmap",
+                                "image/x-portable-graymap"):
+                        feats.append(_pnm_feature(b))
+                    else:
+                        raise NotImplementedError(
+                            f"real decode for {mt} needs pillow/ffmpeg — "
+                            "not in this container"
+                        )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

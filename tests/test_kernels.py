@@ -119,6 +119,31 @@ class TestPairwiseDiffs:
         assert diffs[:6].tolist() == [-2.0, -6.0, 2.0, -4.0, 6.0, 4.0]
         assert diffs[6:8].tolist() == [-0.5, 0.5]
 
+    @staticmethod
+    def _brute(arrays):
+        out = []
+        for a in arrays:
+            for i in range(len(a)):
+                for j in range(len(a)):
+                    if i != j:
+                        out.append(float(a[i] - a[j]))
+        return out
+
+    def test_ragged_branches_agree(self):
+        # the ragged path picks index-arithmetic vectorization below mean
+        # length 16 and the per-row outer-product loop above (measured
+        # crossover) — both must emit the brute-force rows in the same order
+        rng = np.random.RandomState(7)
+        for lo, hi in [(2, 6), (17, 40)]:  # one case per branch
+            arrays = [
+                rng.standard_normal(rng.randint(lo, hi)) for _ in range(25)
+            ] + [np.array([]), np.array([4.0])]
+            flat = np.concatenate([a for a in arrays if len(a)])
+            lens = np.array([len(a) for a in arrays], dtype=np.int64)
+            diffs, counts = seg_pairwise_diffs(flat, lens)
+            assert counts.tolist() == [len(a) * (len(a) - 1) for a in arrays]
+            assert diffs.tolist() == pytest.approx(self._brute(arrays))
+
 
 @pytest.mark.spark
 class TestUdfWrappers:

@@ -358,10 +358,71 @@ class TestMultimodal:
             assert got[doc_id].feature == pytest.approx(exp, abs=1e-9)
             assert got[doc_id].media_type == "text/plain"
 
-    def test_featurize_real_decode_raises(self, spark, docs_df):
+    def test_featurize_real_decode_raises_for_unsupported(self, spark, docs_df):
+        # text/plain has no real codec in this container — the non-stub path
+        # must fail loudly, not silently fake features
         media = multimodal.documents_as_media(docs_df)
-        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
             multimodal.featurize(media, decode_stub=False).collect()
+
+    @staticmethod
+    def _ppm(width, height, pixels, maxval=255, comment=False):
+        """Assemble a binary P6 payload; pixels = flat RGB byte list."""
+        hdr = b"P6\n" + (b"# test comment\n" if comment else b"")
+        hdr += f"{width} {height}\n{maxval}\n".encode()
+        if maxval > 255:
+            import struct
+
+            return hdr + b"".join(struct.pack(">H", v) for v in pixels)
+        return hdr + bytes(pixels)
+
+    def test_decode_pnm_golden(self):
+        # 2×2 P6, comment in header: channel means hand-computed
+        # R: (10+20+30+40)/4=25, G: (0+100+200+50)/4=87.5, B: 255 everywhere
+        px = [10, 0, 255, 20, 100, 255, 30, 200, 255, 40, 50, 255]
+        arr, w, h = multimodal.decode_pnm(self._ppm(2, 2, px, comment=True))
+        assert (w, h) == (2, 2) and arr.shape == (2, 2, 3)
+        assert multimodal._pnm_feature(self._ppm(2, 2, px, comment=True)) == [
+            25.0, 87.5, 255.0, 0.0,
+        ]
+
+    def test_decode_pnm_16bit_pgm(self):
+        # P5 with maxval 65535 → big-endian 2-byte samples
+        import struct
+
+        buf = b"P5\n2 1\n65535\n" + struct.pack(">HH", 1000, 3000)
+        arr, w, h = multimodal.decode_pnm(buf)
+        assert (w, h) == (2, 1) and arr.shape == (1, 2, 1)
+        assert arr.reshape(-1).tolist() == [1000.0, 3000.0]
+        assert multimodal._pnm_feature(buf) == [2000.0, 0.0, 0.0, 0.0]
+
+    def test_decode_pnm_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_pnm(b"not an image")
+        with pytest.raises(ValueError):
+            multimodal.decode_pnm(self._ppm(4, 4, [0, 0, 0]))  # truncated
+
+    def test_featurize_real_ppm_decode(self, spark):
+        # the non-stub path REALLY decodes PNM payloads, distributed via
+        # mapInPandas — rows must match the local decoder exactly
+        px_a = [10, 0, 255, 20, 100, 255, 30, 200, 255, 40, 50, 255]
+        pay_a = self._ppm(2, 2, px_a)
+        pay_b = self._ppm(1, 2, [5, 5, 5, 7, 9, 11], comment=True)
+        media = spark.createDataFrame(
+            [
+                (1, "image/ppm", bytearray(pay_a), (len(pay_a), 2, 2)),
+                (2, "image/ppm", bytearray(pay_b), (len(pay_b), 1, 2)),
+                (3, "image/ppm", None, (0, 0, 0)),
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+        got = {
+            r.doc_id: r
+            for r in multimodal.featurize(media, decode_stub=False).collect()
+        }
+        assert got[1].feature == [25.0, 87.5, 255.0, 0.0]
+        assert got[2].feature == multimodal._pnm_feature(pay_b)
+        assert got[3].feature is None
 
     def test_media_schema_columns(self, spark, docs_df):
         media = multimodal.documents_as_media(docs_df)
