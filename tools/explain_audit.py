@@ -27,6 +27,8 @@ ALLOWED_CARTESIAN = {
     "q12_sliding_window",
     "q35_candidate_ions",  # 20-row broadcast ion list × peaks theta-join (J3 shape)
     "q37_unigram_perplexity",  # 1-row broadcast corpus-total cross join
+    "q45_glucosinolates",  # 1-row broadcast two-pass-count (n_spectra) cross join
+    "q47_gluco_delta_stats",  # q35's ion theta-join + 1-row precursor-stats × 1-row folds
 }
 
 
