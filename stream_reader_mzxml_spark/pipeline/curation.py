@@ -76,3 +76,38 @@ def curate(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.cast("int").alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+DOMAIN_CAP = 10  # max docs kept per source
+
+
+def domain_caps(
+    df: DataFrame, cap: int = DOMAIN_CAP, key_col: str = "source"
+) -> DataFrame:
+    """Per-domain document caps — the stratified-sampling step of a web-scale
+    corpus mix: no single domain may contribute more than ``cap`` documents
+    (per-source quotas keep one mega-crawl host from dominating the mixture).
+
+    Selection within a source is by portable pseudo-random priority
+    ``h32(doc_id)`` (uniform, deterministic, reproducible in the oracle) with
+    ``doc_id`` as tie-break — i.e. a seeded uniform sample of ``cap`` docs
+    per source, not "first cap by id" (which would bias toward crawl order).
+
+    Scale shape: a source is exactly the Zipf-hot axis (one domain can be
+    10^9 docs), so ranking uses the salted two-phase top-K — a hot source
+    spreads over ``n_salts`` tasks and no task ever sorts a whole domain.
+    Only (doc_id, source, priority) rides the shuffle, never the text.
+    """
+    from stream_reader_mzxml_spark.operators.aggregates import salted_top_k
+    from stream_reader_mzxml_spark.pipeline.text import h32
+
+    prio = df.select(
+        "doc_id", key_col, h32(F.col("doc_id").cast("string")).alias("priority")
+    )
+    return salted_top_k(
+        prio,
+        keys=[key_col],
+        order=[F.asc("priority"), F.asc("doc_id")],
+        k=cap,
+        rank_col="rank",
+    ).select(key_col, "doc_id", "priority", "rank")

@@ -377,3 +377,69 @@ def embedding_cosine_pairs(
         .select("a_id", "b_id", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+SEGMENT_WIDTH = 8  # words per segment for cross-doc segment dedup
+
+
+def segment_dedup(
+    df: DataFrame, text_col: str = "text", width: int = SEGMENT_WIDTH
+) -> DataFrame:
+    """Cross-doc duplicated-segment fractions (line-/substring-level dedup).
+
+    The RefinedWeb/CCNet-style step between exact and fuzzy dedup: boilerplate
+    repeats at *segment* granularity (navboxes, license blocks, templated
+    sentences) even when whole documents differ. Documents are cut into
+    non-overlapping ``width``-word segments; a segment whose h32 appears in
+    more than one distinct document is "duplicated"; each doc reports its
+    duplicated-segment fraction.
+
+    Plan shape: segments explode scan-side; ONE groupBy on the segment hash
+    computes cross-doc document frequency (partial/final — a hot boilerplate
+    segment costs a combiner cell, never a pair join, so there is no
+    quadratic skew axis, unlike the shingle self-join); the df>1 set is
+    corpus-sized (NOT broadcastable, unlike the benchmark-gram set of
+    ``decontam``), so it flows back over a shuffle join on the segment hash;
+    final per-doc counts are one more high-cardinality groupBy. 3 shuffles
+    total, none carrying text.
+
+    Returns ``(doc_id, n_segments, n_dup_segments, dup_frac)``.
+    """
+    ws = words(F.col(text_col))
+    n_seg = (F.size(ws) / width).cast("int")  # trailing partial segment dropped
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: h32(
+            F.concat_ws(
+                "|", F.slice(ws, (i * width + 1).cast("int"), width)
+            )
+        ),
+    )
+    ex = df.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(n_seg > 0, F.array_distinct(segs)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("seg"),
+    )
+    seg_df = (
+        ex.filter(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    marked = ex.join(
+        seg_df.filter(F.col("n_docs") > 1).select("seg", F.lit(1).alias("dup")),
+        ["seg"],
+        "left",
+    )
+    out = marked.groupBy("doc_id").agg(
+        F.count("seg").alias("n_segments"),
+        F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup_segments"),
+    )
+    frac = F.when(
+        F.col("n_segments") > 0, F.col("n_dup_segments") / F.col("n_segments")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id", "n_segments", "n_dup_segments", F.round(frac, 6).alias("dup_frac")
+    )

@@ -100,6 +100,117 @@ def cosine_topk(
     )
 
 
+IVF_STRIDE = 31  # vec_id % stride == 0 → deterministic centroid seeds
+IVF_NPROBE = 2
+
+
+def _argsorted_clusters(vec, norm, carr):
+    """Struct array of (cid, cos) vs every centroid, sorted cos desc / cid asc.
+
+    ``carr`` is the 1-row broadcast centroid array<struct<cid,v,norm>>; the
+    whole computation is a scan-side column expression — assignment costs no
+    shuffle and no Python.
+    """
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            c["cid"].alias("cid"),
+            (
+                F.aggregate(
+                    F.zip_with(vec, c["v"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (norm * c["norm"])
+            ).alias("ccos"),
+        ),
+    )
+    return F.array_sort(
+        scored,
+        lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+        .when(a["ccos"] < b["ccos"], F.lit(1))
+        .when(a["cid"] < b["cid"], F.lit(-1))
+        .when(a["cid"] > b["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_probes: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN top-k: centroid-partitioned candidate search.
+
+    The inverted-file (IVF) scale path beyond LSH buckets: corpus vectors are
+    assigned to their nearest centroid (coarse quantizer); a query searches
+    only the ``nprobe`` nearest centroid partitions. Training-free
+    deterministic centroids (every ``stride``-th vector) stand in for a
+    k-means codebook — the *plan* is the point: at 10^9+ vectors the corpus
+    is physically partitioned by ``cluster`` and a probe touches nprobe/C of
+    it.
+
+    Plan shape: centroids → ONE tiny aggregate → 1-row broadcast array;
+    corpus assignment is a scan-side expression (zero shuffle); the candidate
+    join is an equi-join on ``cluster`` (shuffle keyed by cluster id, the IVF
+    fan-in); ranking is a per-probe window over the probed partitions only.
+    Cosines are ordered left-folds — bit-identical to the DuckDB oracle.
+    """
+    cents = _with_norm(
+        emb.filter(F.col(id_col) % stride == 0), id_col, "cid", "cv", "cnorm"
+    )
+    carr = F.broadcast(
+        cents.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid").alias("cid"),
+                        F.col("cv").alias("v"),
+                        F.col("cnorm").alias("norm"),
+                    )
+                )
+            ).alias("carr")
+        )
+    )
+    corpus = (
+        _with_norm(emb, id_col, "n_id", "vn", "nn")
+        .crossJoin(carr)
+        .withColumn(
+            "cluster", _argsorted_clusters(F.col("vn"), F.col("nn"), F.col("carr"))[0]["cid"]
+        )
+        .drop("carr")
+    )
+    probes = (
+        _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
+        .crossJoin(carr)
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _argsorted_clusters(F.col("vp"), F.col("np"), F.col("carr")),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .drop("carr")
+    )
+    cand = probes.join(corpus, ["cluster"]).filter(F.col("p_id") != F.col("n_id"))
+    cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
+    w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.select("p_id", "cluster", "n_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_probes: int = 5,

@@ -199,3 +199,130 @@ def pii_pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("int")
         .alias("has_pii_surface"),
     )
+
+
+CHUNK_LEN = 32  # tokens per training context chunk
+CHUNK_MIN_TAIL = 8  # final partial chunk kept only if at least this long
+
+
+def context_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_len: int = CHUNK_LEN,
+    min_tail: int = CHUNK_MIN_TAIL,
+) -> DataFrame:
+    """Context-length chunking: cut each doc's token stream into fixed-length
+    training chunks — the sequence-preparation step between curation and
+    tokenized-corpus write-out. Full ``chunk_len`` chunks plus a final partial
+    chunk when it is at least ``min_tail`` tokens (tiny tails are dropped, the
+    usual packing policy).
+
+    Emits one row per chunk: ``(doc_id, chunk_idx, chunk_len, checksum)``
+    where checksum is the ordered rolling fold of the chunk's token hashes
+    (the fingerprint construction, applied per-chunk) — the cheap content
+    identity a downstream exactly-once writer dedups/validates on.
+
+    Plan shape: tokens, chunk boundaries, checksums are all computed in the
+    scan's project; ``posexplode`` fans out chunk rows map-side. ZERO
+    shuffles — at 100 TB this is a pure streaming map, and the op runs
+    unchanged on a readStream (stateless projection).
+    """
+    hs = F.transform(regex_tokens(F.col(text_col)), h32)
+    n = F.size(hs)
+    n_full = (n / chunk_len).cast("int")
+    tail_len = n - n_full * chunk_len
+    n_chunks = n_full + F.when(tail_len >= min_tail, 1).otherwise(0)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(hs, (i * chunk_len + 1).cast("int"), chunk_len),
+    )
+    checksum = lambda c: F.aggregate(  # noqa: E731 — ordered fold, oracle-portable
+        c,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FNV_PRIME + x) % FOLD_MOD,
+    )
+    out = df.select(
+        "doc_id",
+        F.posexplode(F.when(n_chunks > 0, chunks).otherwise(F.array().cast("array<array<bigint>>"))).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("chunk_len"),
+        checksum(F.col("chunk")).alias("checksum"),
+    )
+
+
+DRIFT_BUCKETS = 64  # token-hash buckets for the distribution fingerprint
+
+
+def source_drift(
+    df: DataFrame, text_col: str = "text", n_buckets: int = DRIFT_BUCKETS
+) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus — the
+    data-mixture QA step: KL(source ‖ corpus) and total-variation distance
+    over a ``n_buckets``-bucket token-hash histogram. A source whose
+    distribution drifts (spam burst, encoding break, template flood) shows a
+    KL spike long before eyeballing documents would find it.
+
+    Distributions are over ``h32(word) % n_buckets`` — coarse by design: the
+    bucketed histogram is a fixed-size mergeable state (the same degradation
+    argument as the sketch queries), so the whole op is two partial/final
+    aggregates regardless of vocabulary size.
+
+    Float parity: both divergences are ORDERED folds over buckets ascending
+    (Spark ``sort_array(collect_list(...))`` + ``aggregate`` ≡ DuckDB ordered
+    ``list``/``list_reduce``), so results match the oracle bit-for-bit.
+
+    Plan shape: explode words scan-side → ONE groupBy (source, bucket) with
+    map-side partials (≤ sources × n_buckets rows survive) → corpus totals
+    derived from THAT aggregate (no second scan) → broadcast join of the
+    64-row bucket table → per-source fold. At 100 TB the only full-data
+    shuffle is the (source, bucket) partial/final aggregate.
+    """
+    ex = df.select(
+        F.col("source"), F.explode(words(F.col(text_col))).alias("w")
+    ).select("source", (h32(F.col("w")) % n_buckets).alias("bucket"))
+    sb = ex.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c_sb"))
+    b = sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    tot = sb.groupBy().agg(F.sum("c_sb").alias("c_tot"))
+    src_tot = sb.groupBy("source").agg(F.sum("c_sb").alias("c_s"))
+    # densify: every (source, bucket) cell exists, so a bucket the source
+    # never emits still contributes |0 − q| to TV (and the 0·ln0 := 0 limit
+    # to KL); the cross join is sources × n_buckets — broadcast-bounded
+    dense = (
+        src_tot.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(tot))
+        .join(sb, ["source", "bucket"], "left")
+        .withColumn("c_sb", F.coalesce(F.col("c_sb"), F.lit(0)))
+    )
+    pairs = dense.groupBy("source", "c_s").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket").alias("bucket"),
+                    (F.col("c_sb") / F.col("c_s")).alias("p"),
+                    (F.col("c_b") / F.col("c_tot")).alias("q"),
+                )
+            )
+        ).alias("pq")
+    )
+    kl = F.aggregate(
+        F.col("pq"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x["p"] > 0, x["p"] * F.log(x["p"] / x["q"])).otherwise(F.lit(0.0)),
+    )
+    tv = F.aggregate(
+        F.col("pq"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x["p"] - x["q"]),
+    ) / F.lit(2.0)
+    return pairs.select(
+        "source",
+        F.col("c_s").alias("n_tokens"),
+        F.round(kl, 6).alias("kl_divergence"),
+        F.round(tv, 6).alias("tv_distance"),
+    )

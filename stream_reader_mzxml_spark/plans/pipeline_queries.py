@@ -17,7 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_reader_mzxml_spark.pipeline import dedup, multimodal, similarity, text
+from stream_reader_mzxml_spark.pipeline import (
+    curation,
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 PIPELINE_ORACLES: dict[str, str] = {}
@@ -544,3 +551,244 @@ def q33_band_score(spark, sf_dir):
         emb.select("vec_id", udf(v).cast("int").alias("score"))
         .filter(F.col("score") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — benchmark decontamination: n-gram overlap vs a (small) eval set.
+# Benchmark docs = doc_id % 97 == 0 (a deterministic stand-in eval corpus);
+# training corpus = the rest. The benchmark gram set is broadcast — the
+# corpus-side plan is one scan + one doc_id groupBy, the 100-TB shape.
+# ---------------------------------------------------------------------------
+@_register(
+    "q48_decontamination",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    bg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 97 = 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 97 != 0),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_grams, count(bg.g) AS n_hit
+      FROM ex LEFT JOIN bg ON ex.g = bg.g
+      GROUP BY ex.doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(h.n_grams, 0) AS n_grams,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(h.n_grams, 0) > 0
+                THEN round(h.n_hit / h.n_grams, 6) ELSE 0.0 END AS contam_frac,
+           CASE WHEN coalesce(h.n_grams, 0) > 0
+                 AND h.n_hit / h.n_grams >= {decontam.CONTAM_THRESHOLD}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM (SELECT doc_id FROM sh WHERE doc_id % 97 != 0) s
+    LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def q48_decontamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return decontam.ngram_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — IVF-style ANN top-k: centroid-partitioned candidate search (the
+# inverted-file scale path; q30's LSH buckets are the hash-partitioned
+# alternative). Deterministic centroid seeds (vec_id % 31 == 0), nprobe=2.
+# Oracle replicates the IVF *plan* (assignment + probed partitions), as the
+# LSH oracle replicates the bucketed plan.
+# ---------------------------------------------------------------------------
+@_register(
+    "q49_ivf_ann_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_FOLD_NORM.format(v="v")} AS norm FROM e),
+    cent AS (SELECT vec_id AS cid, v, norm FROM n
+             WHERE vec_id % {similarity.IVF_STRIDE} = 0),
+    asn AS (
+      SELECT n.vec_id, c.cid,
+             {_FOLD_DOT.format(a="n.v", b="c.v")} / (n.norm * c.norm) AS ccos
+      FROM n, cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS cr
+      FROM asn
+    ),
+    corpus AS (
+      SELECT n.vec_id AS n_id, n.v, n.norm, r.cid AS cluster
+      FROM n JOIN ranked r ON n.vec_id = r.vec_id AND r.cr = 1
+    ),
+    probes AS (
+      SELECT n.vec_id AS p_id, n.v, n.norm, r.cid AS cluster
+      FROM n JOIN ranked r ON n.vec_id = r.vec_id
+        AND r.cr <= {similarity.IVF_NPROBE}
+      WHERE n.vec_id < 5
+    ),
+    c AS (
+      SELECT p.p_id, p.cluster, q.n_id,
+             round({_FOLD_DOT.format(a="p.v", b="q.v")} / (p.norm * q.norm), 6)
+               AS cosine
+      FROM probes p JOIN corpus q ON p.cluster = q.cluster
+      WHERE p.p_id != q.n_id
+    )
+    SELECT p_id, cluster, n_id, cosine, rank FROM (
+      SELECT p_id, cluster, n_id, cosine,
+             row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, n_id) AS rank
+      FROM c
+    ) WHERE rank <= 10
+    """,
+)
+def q49_ivf_ann_topk(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), n_probes=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q50 — per-domain caps (stratified sampling): seeded-uniform top-`cap` docs
+# per source via the salted two-phase top-K (a source is the Zipf-hot axis).
+# ---------------------------------------------------------------------------
+@_register(
+    "q50_domain_caps",
+    f"""
+    SELECT source, doc_id, priority, rank FROM (
+      SELECT source, doc_id,
+             {_H32.format(x="doc_id::VARCHAR")} AS priority,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_H32.format(x="doc_id::VARCHAR")}, doc_id) AS rank
+      FROM documents
+    ) WHERE rank <= {10}
+    """,
+)
+def q50_domain_caps(spark, sf_dir):
+    return curation.domain_caps(_t(spark, sf_dir, "documents"), cap=10)
+
+
+# ---------------------------------------------------------------------------
+# q51 — cross-doc segment dedup (line-level dedup analog): non-overlapping
+# 8-word segment hashes; segments in >1 distinct doc are duplicated; per-doc
+# duplicated-segment fraction.
+# ---------------------------------------------------------------------------
+_SEG_W = 8
+_SEGS = f"""
+  list_distinct(list_transform(
+    generate_series(0, (length(ws) // {_SEG_W}) - 1),
+    i -> {_H32.format(x=f"array_to_string(ws[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], '|')")}
+  ))
+"""
+
+
+@_register(
+    "q51_segment_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sg AS (SELECT doc_id, {_SEGS} AS segs FROM w),
+    ex AS (SELECT doc_id, unnest(segs) AS seg FROM sg),
+    dfreq AS (SELECT seg, count(*) AS n_docs FROM ex GROUP BY seg),
+    agg AS (
+      SELECT ex.doc_id,
+             count(*) AS n_segments,
+             count(*) FILTER (WHERE d.n_docs > 1) AS n_dup_segments
+      FROM ex JOIN dfreq d ON ex.seg = d.seg
+      GROUP BY ex.doc_id
+    )
+    SELECT sg.doc_id,
+           coalesce(a.n_segments, 0) AS n_segments,
+           coalesce(a.n_dup_segments, 0) AS n_dup_segments,
+           CASE WHEN coalesce(a.n_segments, 0) > 0
+                THEN round(a.n_dup_segments / a.n_segments, 6)
+                ELSE 0.0 END AS dup_frac
+    FROM sg LEFT JOIN agg a ON sg.doc_id = a.doc_id
+    """,
+)
+def q51_segment_dedup(spark, sf_dir):
+    return dedup.segment_dedup(_t(spark, sf_dir, "documents"), width=_SEG_W)
+
+
+# ---------------------------------------------------------------------------
+# q52 — context-length chunking: fixed-length training chunks per doc with a
+# min-tail policy and an ordered rolling checksum per chunk. Zero-shuffle
+# scan-side fan-out (posexplode) — the sequence-preparation step of the
+# tokenized-corpus writer; runs unchanged on a stream.
+# ---------------------------------------------------------------------------
+_CHK = (
+    "list_reduce(list_prepend(0::BIGINT, {c}), "
+    f"(acc, x) -> (acc * {text.FNV_PRIME} + x) % {text.FOLD_MOD})"
+)
+
+
+@_register(
+    "q52_context_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                            t -> {_H32.format(x="t")}) AS hs
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, hs,
+             (length(hs) // {text.CHUNK_LEN})
+               + CASE WHEN length(hs) % {text.CHUNK_LEN} >= {text.CHUNK_MIN_TAIL}
+                      THEN 1 ELSE 0 END AS n_chunks
+      FROM w
+    ),
+    ex AS (
+      SELECT doc_id, i AS chunk_idx,
+             hs[i*{text.CHUNK_LEN}+1 : i*{text.CHUNK_LEN}+{text.CHUNK_LEN}] AS chunk
+      FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, length(chunk) AS chunk_len,
+           {_CHK.format(c="chunk")} AS checksum
+    FROM ex
+    """,
+)
+def q52_context_chunks(spark, sf_dir):
+    return text.context_chunks(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q53 — per-source token-distribution drift vs corpus (KL + total variation
+# over a 64-bucket token-hash histogram): data-mixture QA. Both divergences
+# are ordered folds over buckets ascending — bit-identical to the oracle.
+# ---------------------------------------------------------------------------
+@_register(
+    "q53_source_drift",
+    f"""
+    WITH ex AS (
+      SELECT source, {_H32.format(x="w")} % {text.DRIFT_BUCKETS} AS bucket
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    sb AS (SELECT source, bucket, count(*) AS c_sb FROM ex GROUP BY 1, 2),
+    b AS (SELECT bucket, sum(c_sb)::BIGINT AS c_b FROM sb GROUP BY 1),
+    tot AS (SELECT sum(c_sb)::BIGINT AS c_tot FROM sb),
+    st AS (SELECT source, sum(c_sb)::BIGINT AS c_s FROM sb GROUP BY 1),
+    dense AS (
+      SELECT st.source, st.c_s, b.bucket,
+             coalesce(sb.c_sb, 0) AS c_sb, b.c_b, tot.c_tot
+      FROM st CROSS JOIN b CROSS JOIN tot
+      LEFT JOIN sb ON sb.source = st.source AND sb.bucket = b.bucket
+    ),
+    pairs AS (
+      SELECT source, c_s,
+             list(struct_pack(bucket := bucket,
+                              p := c_sb / c_s,
+                              q := c_b / c_tot) ORDER BY bucket) AS pq
+      FROM dense GROUP BY 1, 2
+    )
+    SELECT source, c_s AS n_tokens,
+           round(list_reduce(list_prepend(0.0, list_transform(pq,
+                 x -> CASE WHEN x.p > 0 THEN x.p * ln(x.p / x.q)
+                           ELSE 0.0 END)),
+                 (acc, y) -> acc + y), 6) AS kl_divergence,
+           round(list_reduce(list_prepend(0.0, list_transform(pq,
+                 x -> abs(x.p - x.q))),
+                 (acc, y) -> acc + y) / 2.0, 6) AS tv_distance
+    FROM pairs
+    """,
+)
+def q53_source_drift(spark, sf_dir):
+    return text.source_drift(_t(spark, sf_dir, "documents"))

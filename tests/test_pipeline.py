@@ -433,3 +433,226 @@ class TestMultimodal:
             "meta",
         ]
         assert media.schema["payload"].dataType.typeName() == "binary"
+
+
+@pytest.mark.spark
+class TestDecontam:
+    """Benchmark n-gram decontamination vs a hand-computed Python oracle."""
+
+    def test_overlap_counts_match_python(self, spark, docs_df):
+        from stream_reader_mzxml_spark.pipeline import decontam
+
+        bench = docs_df.filter(F.col("doc_id") == 0)
+        corpus = docs_df.filter(F.col("doc_id") != 0)
+        got = {
+            r.doc_id: r
+            for r in decontam.ngram_decontaminate(corpus, bench, n=3).collect()
+        }
+
+        def grams(s):
+            ws = s.split(" ")
+            return {
+                h32_py("|".join(ws[i : i + 3])) for i in range(len(ws) - 2)
+            } if len(ws) >= 3 else set()
+
+        bg = grams(DOCS[0][1])
+        for doc_id, txt in DOCS[1:]:
+            g = grams(txt)
+            assert got[doc_id].n_grams == len(g), doc_id
+            assert got[doc_id].n_hit == len(g & bg), doc_id
+        # exact dup of the benchmark doc is fully contaminated
+        assert got[3].contam_frac == 1.0 and got[3].contaminated == 1
+        # disjoint doc is clean
+        assert got[2].n_hit == 0 and got[2].contaminated == 0
+
+    def test_doc_shorter_than_n_is_clean(self, spark, docs_df):
+        from stream_reader_mzxml_spark.pipeline import decontam
+
+        bench = docs_df.filter(F.col("doc_id") == 0)
+        got = {
+            r.doc_id: r
+            for r in decontam.ngram_decontaminate(
+                docs_df.filter(F.col("doc_id") == 4), bench, n=3
+            ).collect()
+        }
+        # "short text" has 2 words -> no grams -> clean by definition
+        assert got[4].n_grams == 0 and got[4].contam_frac == 0.0
+        assert got[4].contaminated == 0
+
+
+@pytest.mark.spark
+class TestIVF:
+    def test_ivf_plan_matches_numpy_replication(self, spark):
+        rng = np.random.RandomState(5)
+        vecs = rng.standard_normal((40, similarity.DIM)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id INT, embedding ARRAY<FLOAT>",
+        )
+        stride, nprobe, k, n_probes = 13, 2, 5, 3
+        got = similarity.ivf_topk(
+            df, n_probes=n_probes, k=k, stride=stride, nprobe=nprobe
+        ).collect()
+
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        cids = [i for i in range(40) if i % stride == 0]
+        ccos = (v @ v[cids].T) / (norms[:, None] * norms[cids][None, :])
+        # argmax with cid-asc tie-break == first max in cid order
+        assign = [cids[int(np.argmax(ccos[i]))] for i in range(40)]
+        cos = (v @ v.T) / (norms[:, None] * norms[None, :])
+        by_probe = {}
+        for r in got:
+            by_probe.setdefault(r.p_id, []).append(r)
+        for p in range(n_probes):
+            probed = [
+                cids[j] for j in np.argsort(-ccos[p], kind="stable")[:nprobe]
+            ]
+            cand = [
+                i for i in range(40) if i != p and assign[i] in probed
+            ]
+            order = sorted(cand, key=lambda i: (-round(cos[p, i], 6), i))[:k]
+            mine = [r.n_id for r in sorted(by_probe[p], key=lambda r: r.rank)]
+            assert mine == order, p
+            # every returned neighbor really lives in a probed partition
+            for r in by_probe[p]:
+                assert assign[r.n_id] == r.cluster and r.cluster in probed
+
+    def test_ivf_rank_window_is_salted_free_but_bounded(self, spark):
+        # structural: k rows max per probe, ranks contiguous from 1
+        rng = np.random.RandomState(6)
+        vecs = rng.standard_normal((30, similarity.DIM)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id INT, embedding ARRAY<FLOAT>",
+        )
+        got = similarity.ivf_topk(df, n_probes=2, k=4, stride=7, nprobe=2).collect()
+        for p in {r.p_id for r in got}:
+            ranks = sorted(r.rank for r in got if r.p_id == p)
+            assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 4
+
+
+@pytest.mark.spark
+class TestDomainCaps:
+    def test_caps_and_priority_selection(self, spark):
+        from stream_reader_mzxml_spark.pipeline.curation import domain_caps
+
+        rows = [(i, "hot" if i < 40 else f"cold{i % 3}") for i in range(52)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = domain_caps(df, cap=5).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r.source, []).append(r)
+        # every source capped; hot source (40 docs) reduced to exactly 5
+        assert len(by_src["hot"]) == 5
+        for src, rs in by_src.items():
+            assert len(rs) <= 5
+            expect = sorted(
+                (i for i, s in rows if s == src),
+                key=lambda i: (h32_py(str(i)), i),
+            )[:5]
+            assert [r.doc_id for r in sorted(rs, key=lambda r: r.rank)] == expect
+
+
+@pytest.mark.spark
+class TestSegmentDedup:
+    def test_shared_segment_counted(self, spark):
+        w = dedup.SEGMENT_WIDTH
+        shared = " ".join(f"s{i}" for i in range(w))
+        uniq_a = " ".join(f"a{i}" for i in range(w))
+        uniq_b = " ".join(f"b{i}" for i in range(w))
+        docs = [
+            (0, f"{shared} {uniq_a}"),  # both segments duplicated (doc1, doc2)
+            (1, f"{shared} {uniq_b}"),  # 2 segments, 1 duplicated
+            (2, uniq_a + " tail"),      # 1 segment ("tail" partial dropped);
+                                        # hashes match doc0's SECOND chunk —
+                                        # content-hashed, alignment-free
+            (3, "tiny"),                # < w words -> 0 segments
+        ]
+        got = {
+            r.doc_id: r
+            for r in dedup.segment_dedup(
+                spark.createDataFrame(docs, ["doc_id", "text"])
+            ).collect()
+        }
+        assert (got[0].n_segments, got[0].n_dup_segments) == (2, 2)
+        assert got[0].dup_frac == 1.0
+        assert (got[1].n_segments, got[1].n_dup_segments) == (2, 1)
+        assert got[1].dup_frac == 0.5
+        assert (got[2].n_segments, got[2].n_dup_segments) == (1, 1)
+        assert (got[3].n_segments, got[3].n_dup_segments) == (0, 0)
+        assert got[3].dup_frac == 0.0
+
+
+@pytest.mark.spark
+class TestContextChunks:
+    def test_chunking_matches_python(self, spark):
+        docs = [
+            (0, " ".join(f"w{i}" for i in range(70))),  # 2 full + tail 6 -> drop
+            (1, " ".join(f"w{i}" for i in range(75))),  # 2 full + tail 11 -> keep
+            (2, " ".join(f"w{i}" for i in range(32))),  # exactly 1 full
+            (3, "w0 w1 w2"),                            # 3 < min_tail -> none
+        ]
+        got = sorted(
+            map(
+                tuple,
+                text.context_chunks(
+                    spark.createDataFrame(docs, ["doc_id", "text"])
+                ).collect(),
+            )
+        )
+
+        exp = []
+        for doc_id, t in docs:
+            hs = [h32_py(w) for w in t.split(" ")]
+            n_full, tail = len(hs) // 32, len(hs) % 32
+            n_chunks = n_full + (1 if tail >= 8 else 0)
+            for i in range(n_chunks):
+                chunk = hs[i * 32 : i * 32 + 32]
+                acc = 0
+                for x in chunk:
+                    acc = (acc * text.FNV_PRIME + x) % text.FOLD_MOD
+                exp.append((doc_id, i, len(chunk), acc))
+        assert got == sorted(exp)
+        assert (0, 2, 6, 0) not in [e[:3] + (0,) for e in exp]  # tail 6 dropped
+        lens = {(d, i): ln for d, i, ln, _ in exp}
+        assert lens[(1, 2)] == 11 and (0, 2) not in lens and (3, 0) not in lens
+
+
+@pytest.mark.spark
+class TestSourceDrift:
+    def test_kl_tv_match_python(self, spark):
+        import math
+
+        rows = [
+            (0, "a b c d e f g h", "s0"),
+            (1, "a a a a b b c d", "s0"),
+            (2, "x y z x y z x y", "s1"),
+            (3, "a b x y c d z w", "s1"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {r.source: r for r in text.source_drift(df, n_buckets=8).collect()}
+
+        from collections import Counter
+
+        c_sb, c_b = Counter(), Counter()
+        for _, t, s in rows:
+            for w in t.split(" "):
+                bkt = h32_py(w) % 8
+                c_sb[(s, bkt)] += 1
+                c_b[bkt] += 1
+        tot = sum(c_b.values())
+        for s in ("s0", "s1"):
+            c_s = sum(v for (src, _), v in c_sb.items() if src == s)
+            kl = tv = 0.0
+            for bkt in sorted(c_b):  # ordered fold, buckets ascending
+                p = c_sb.get((s, bkt), 0) / c_s
+                q = c_b[bkt] / tot
+                kl += p * math.log(p / q) if p > 0 else 0.0
+                tv += abs(p - q)
+            assert got[s].n_tokens == c_s
+            assert got[s].kl_divergence == pytest.approx(round(kl, 6), abs=2e-6)
+            assert got[s].tv_distance == pytest.approx(round(tv / 2.0, 6), abs=2e-6)
+        # a source identical to the corpus mixture would have kl == tv == 0;
+        # these two differ from the pooled distribution
+        assert got["s1"].kl_divergence > 0

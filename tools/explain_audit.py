@@ -29,6 +29,7 @@ ALLOWED_CARTESIAN = {
     "q37_unigram_perplexity",  # 1-row broadcast corpus-total cross join
     "q45_glucosinolates",  # 1-row broadcast two-pass-count (n_spectra) cross join
     "q47_gluco_delta_stats",  # q35's ion theta-join + 1-row precursor-stats × 1-row folds
+    "q49_ivf_ann_topk",  # 1-row broadcast centroid-array cross join (corpus + probes)
 }
 
 
