@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stream_reader_mzxml_spark.pipeline.dedup import shingle_hashes
+from stream_reader_mzxml_spark.sources.readers import spread_scan
 
 CONTAM_THRESHOLD = 0.05  # fraction of a doc's distinct grams found in the benchmark
 
@@ -51,6 +52,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     n: int = 3,
     threshold: float = CONTAM_THRESHOLD,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-doc benchmark-overlap verdict for every training doc.
 
@@ -62,7 +64,7 @@ def ngram_decontaminate(
     probe is a broadcast left join with a hit indicator — not a semi-join
     plus a join-back, which would shuffle twice.
     """
-    ex = docs.select(
+    ex = spread_scan(docs, spread).select(
         "doc_id",
         F.explode_outer(shingle_hashes(F.col(text_col), n)).alias("g"),
     )

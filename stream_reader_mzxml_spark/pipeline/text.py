@@ -259,7 +259,10 @@ DRIFT_BUCKETS = 64  # token-hash buckets for the distribution fingerprint
 
 
 def source_drift(
-    df: DataFrame, text_col: str = "text", n_buckets: int = DRIFT_BUCKETS
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DRIFT_BUCKETS,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus — the
     data-mixture QA step: KL(source ‖ corpus) and total-variation distance
@@ -282,7 +285,9 @@ def source_drift(
     64-row bucket table → per-source fold. At 100 TB the only full-data
     shuffle is the (source, bucket) partial/final aggregate.
     """
-    ex = df.select(
+    from stream_reader_mzxml_spark.sources.readers import spread_scan
+
+    ex = spread_scan(df, spread).select(
         F.col("source"), F.explode(words(F.col(text_col))).alias("w")
     ).select("source", (h32(F.col("w")) % n_buckets).alias("bucket"))
     sb = ex.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c_sb"))

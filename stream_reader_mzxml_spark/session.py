@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        # The generated-class cache defaults to 100 entries — a query battery
+        # (or any workload with many distinct projections) thrashes it, and a
+        # miss re-runs Janino PER TASK: measured 4-10× wall-time inflation on
+        # the md5/higher-order-heavy queries once an earlier query had filled
+        # the cache (q26 42s -> 9.8s, q35 26s -> 6.2s with the cache sized).
+        # Thread dumps show the signature: executor threads in
+        # GenerateUnsafeProjection$.create / CodeFormatter instead of data
+        # processing. 10k entries ≈ a few hundred MB of class metadata, cheap
+        # vs recompilation; same conf applies executor-side on a cluster.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

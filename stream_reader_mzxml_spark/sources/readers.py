@@ -86,3 +86,27 @@ def sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         F.col("user_id"),
     )
+
+
+def spread_scan(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Round-robin a narrow scan across ``defaultParallelism`` tasks before a
+    per-row-heavy projection.
+
+    Why this exists: higher-order array expressions and md5-based hashing are
+    ``CodegenFallback`` — they run in the interpreted expression evaluator,
+    10-50× slower per row than codegen'd exprs. A local single-file parquet
+    table gives the scan ONE split, so that interpreted projection serializes
+    on one core while 31 idle. One round-robin exchange of the narrow source
+    rows (ids + text, never derived arrays) buys full-width parallelism for
+    the expensive projection that follows.
+
+    On a real 100-TB table the scan already arrives in thousands of splits
+    and the exchange is pure cost — callers there pass ``enabled=False``.
+    The flag mirrors ``functions.kernels.pairwise_diff_counts(spread=...)``;
+    a metadata probe (``df.rdd.getNumPartitions()``) is deliberately NOT used
+    (it forces a driver-side conversion of the analyzed plan, costing more
+    than the exchange it would occasionally save).
+    """
+    if not enabled:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
