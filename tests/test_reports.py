@@ -194,3 +194,39 @@ class TestDecontamStreaming:
             for r in ngram_decontaminate_stateless(corpus, bench).collect()
         )
         assert joined == flat
+
+
+@pytest.mark.spark
+class TestContextChunksStreaming:
+    def test_chunking_stream_equals_batch(self, spark, tmp_path):
+        # context chunking is a stateless posexplode projection -> identical
+        # rows when run as a micro-batched stream
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline.text import context_chunks
+
+        rows = [
+            (int(i), " ".join(f"w{(i * 7 + j) % 97}" for j in range(5 + (i * 13) % 80)))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        src = str(tmp_path / "docs_chunk_stream")
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = context_chunks(stream)
+        name = f"q52s_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, context_chunks(docs).collect()))
+        assert len(exp) > 0 and got == exp
