@@ -453,3 +453,88 @@ def segment_dedup(
     return out.select(
         "doc_id", "n_segments", "n_dup_segments", F.round(frac, 6).alias("dup_frac")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup clusters: connected components of the candidate-pair graph.
+
+    The step real corpus dedup needs AFTER pair generation: MinHash/SimHash
+    emit *pairs*, but the keep/drop decision is per *cluster* (keep one doc
+    per component). Implemented as alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the published O(log n)-round algorithm for trillion-edge
+    graphs, vs. the O(diameter) rounds of naive min-label propagation:
+
+    - large-star: every node attaches its *larger* neighbors to its minimum
+      neighborhood node — one groupBy(min) + one self-attach union.
+    - small-star: every node attaches its smaller-or-equal neighbors to the
+      minimum — after which chains collapse into stars.
+
+    Each round is two hash-shuffles on the node id (no text, 16 bytes/edge);
+    the driver sees only a per-round convergence *scalar* (edge checksum),
+    never row data, and ``localCheckpoint`` truncates the iterative lineage
+    so plans stay O(1) per round. Rounds are O(log n) with high probability
+    — at 10^12 docs that is ~40 rounds worst case, each a bounded shuffle.
+
+    Returns ``(doc_id, component_id, cluster_size)`` for every node that
+    appears in at least one pair; ``component_id`` = min doc_id reachable.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    # canonical undirected edge set u > v (self-loops dropped)
+    edges = (
+        pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods as symmetric (x, nbr); m(x) = min(N(x) ∪ {x})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.withColumn("m", F.least("u", "mn")).select("u", "m")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        attached = (
+            sym.filter(cond)
+            .join(mins, "u")
+            .select(F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v"))
+        )
+        out = attached.union(
+            mins.filter(F.col("u") != F.col("m")).select(
+                "u", F.col("m").alias("v")
+            )
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False).localCheckpoint()
+        # convergence scalar: order-independent checksum + count of the edge
+        # set (aggregate to driver — never row data)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set checksum with no overflow (ANSI)
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("sig"),
+        ).first()
+        sig = (row["n"], row["sig"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # post-convergence the edge set is a star forest: v IS the component root
+    members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    roots = members.select("component_id").distinct().select(
+        F.col("component_id").alias("doc_id"), F.col("component_id")
+    )
+    nodes = members.union(roots)
+    sizes = nodes.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return nodes.join(sizes, "component_id").select(
+        "doc_id", "component_id", "cluster_size"
+    )

@@ -792,3 +792,38 @@ def q52_context_chunks(spark, sf_dir):
 )
 def q53_source_drift(spark, sf_dir):
     return text.source_drift(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q54 — near-dup clusters: connected components over the MinHash+LSH pair
+# graph (q26's edges), via alternating large-star/small-star — the step that
+# turns pairwise near-dup output into per-cluster keep/drop decisions. The
+# oracle computes the same components with a recursive transitive closure
+# (min reachable doc_id per node), so the O(log n)-round distributed
+# algorithm is checked against a directly-stated fixpoint semantics.
+# ---------------------------------------------------------------------------
+@_register(
+    "q54_dedup_clusters",
+    f"""
+    WITH RECURSIVE pr AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM pr
+      UNION
+      SELECT b_id, a_id FROM pr
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, min(r) AS component_id FROM reach GROUP BY n),
+    sz AS (SELECT component_id, count(*) AS cluster_size
+           FROM comp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.cluster_size
+    FROM comp c JOIN sz s USING (component_id)
+    """,
+)
+def q54_dedup_clusters(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.connected_components(pairs)

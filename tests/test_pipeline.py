@@ -656,3 +656,40 @@ class TestSourceDrift:
         # a source identical to the corpus mixture would have kl == tv == 0;
         # these two differ from the pooled distribution
         assert got["s1"].kl_divergence > 0
+
+
+@pytest.mark.spark
+class TestConnectedComponents:
+    def test_chain_star_and_singleton_pair(self, spark):
+        from stream_reader_mzxml_spark.pipeline.dedup import connected_components
+
+        # chain 1-2-3-4-5 (diameter > 1 forces real label propagation),
+        # star 10-{11,12,13}, isolated pair (20, 21), duplicate + reversed
+        # edges and a self-loop that must be ignored
+        edges = [
+            (2, 1), (2, 3), (4, 3), (4, 5),
+            (10, 11), (10, 12), (13, 10),
+            (20, 21), (21, 20), (7, 7),
+        ]
+        df = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+        got = {
+            (r["doc_id"], r["component_id"], r["cluster_size"])
+            for r in connected_components(df).collect()
+        }
+        exp = (
+            {(n, 1, 5) for n in (1, 2, 3, 4, 5)}
+            | {(n, 10, 4) for n in (10, 11, 12, 13)}
+            | {(n, 20, 2) for n in (20, 21)}
+        )
+        assert got == exp
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from stream_reader_mzxml_spark.pipeline.dedup import connected_components
+
+        # a 64-node chain: naive min-label propagation needs ~63 rounds;
+        # large-star/small-star must finish within the max_iter=12 cap
+        edges = [(i, i + 1) for i in range(64)]
+        df = spark.createDataFrame(edges, "a_id BIGINT, b_id BIGINT")
+        out = connected_components(df, max_iter=12).collect()
+        assert len(out) == 65
+        assert all(r["component_id"] == 0 and r["cluster_size"] == 65 for r in out)
