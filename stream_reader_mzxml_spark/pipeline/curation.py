@@ -111,3 +111,33 @@ def domain_caps(
         k=cap,
         rank_col="rank",
     ).select(key_col, "doc_id", "priority", "rank")
+
+
+def dedup_apply(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc keep/drop decision from near-dup clusters — the user-facing
+    end of the dedup family: pairs (MinHash/SimHash/Jaccard) → components
+    (``dedup.connected_components``) → ONE keeper per cluster.
+
+    Keeper = the cluster's ``component_id`` (min doc_id — deterministic
+    under retry and independent of partitioning). Docs in no cluster keep
+    themselves. Join shape: corpus LEFT JOIN the component map on doc_id —
+    the map holds only docs that HAVE a near-dup, so AQE broadcasts it when
+    it fits (typical: a few % of the corpus) and falls back to a doc_id
+    equi-join when it doesn't; the corpus text never shuffles either way.
+
+    Returns ``(doc_id, keeper_doc_id, keep)``.
+    """
+    comp = components.select(
+        F.col(id_col), F.col("component_id").alias("keeper_doc_id")
+    )
+    return docs.select(id_col).join(comp, [id_col], "left").select(
+        id_col,
+        F.coalesce("keeper_doc_id", F.col(id_col)).alias("keeper_doc_id"),
+        (F.coalesce("keeper_doc_id", F.col(id_col)) == F.col(id_col))
+        .cast("int")
+        .alias("keep"),
+    )

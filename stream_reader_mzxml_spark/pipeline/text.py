@@ -331,3 +331,43 @@ def source_drift(
         F.round(kl, 6).alias("kl_divergence"),
         F.round(tv, 6).alias("tv_distance"),
     )
+
+
+TFIDF_MIN_TF = 2  # emit only terms that repeat within the doc
+
+
+def tfidf_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF — the keyword-weighting primitive of corpus
+    search / topic QA. Smoothed idf = ln((N + 1) / (df + 1)) + 1 (sklearn's
+    formulation); terms are h32 hashes so no text rides the shuffles.
+
+    Plan: explode(words) → groupBy(doc, term) count [1 shuffle, partial
+    agg'd] → term document frequency via a second groupBy on the term hash
+    [1 shuffle, Zipf-hot terms cost a combiner cell each, never a join
+    explosion] → N from a 1-row broadcast cross join. Emits scores, not a
+    per-doc ranking — ranking is the (salted) top-K operator's job.
+
+    Returns ``(doc_id, term_h, tf, df, tf_idf)`` for terms with
+    ``tf >= TFIDF_MIN_TF``.
+    """
+    ex = df.select("doc_id", F.explode(words(F.col(text_col))).alias("w")).select(
+        "doc_id", h32(F.col("w")).alias("term_h")
+    )
+    tf = ex.groupBy("doc_id", "term_h").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term_h").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct("doc_id").alias("n_docs")
+    )  # 1-row broadcast
+    scored = (
+        tf.filter(F.col("tf") >= TFIDF_MIN_TF)
+        .join(dfreq, "term_h")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    return scored.select(
+        "doc_id",
+        "term_h",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+    )

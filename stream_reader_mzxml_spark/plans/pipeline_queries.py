@@ -827,3 +827,65 @@ def q53_source_drift(spark, sf_dir):
 def q54_dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q55 — dedup apply: per-doc keep/drop from the q54 clusters (keeper = min
+# doc_id per component; unclustered docs keep themselves). The corpus-side
+# plan is one left join on doc_id against the cluster-members-only map.
+# ---------------------------------------------------------------------------
+@_register(
+    "q55_dedup_apply",
+    f"""
+    WITH RECURSIVE pr AS (SELECT a_id, b_id FROM ({_minhash_sql()})),
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM pr
+      UNION
+      SELECT b_id, a_id FROM pr
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, min(r) AS keeper FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           coalesce(c.keeper, d.doc_id) AS keeper_doc_id,
+           CASE WHEN coalesce(c.keeper, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def q55_dedup_apply(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    comps = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    )
+    return curation.dedup_apply(docs, comps)
+
+
+# ---------------------------------------------------------------------------
+# q56 — TF-IDF term scoring (smoothed sklearn idf over h32 term hashes):
+# two partial-agg'd groupBys + a 1-row broadcast for N. Scores, not ranks —
+# ranking is q13/q36's operator; emitting scores keeps the float compare
+# ulp-safe under round(6).
+# ---------------------------------------------------------------------------
+@_register(
+    "q56_tfidf",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, {_H32.format(x="w")} AS term_h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    tf AS (SELECT doc_id, term_h, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT term_h, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term_h, tf.tf, d.df,
+           round(tf.tf * (ln((n.n_docs + 1) / (d.df + 1)) + 1), 6) AS tf_idf
+    FROM tf JOIN dfreq d USING (term_h) CROSS JOIN n
+    WHERE tf.tf >= {text.TFIDF_MIN_TF}
+    """,
+)
+def q56_tfidf(spark, sf_dir):
+    return text.tfidf_scores(_t(spark, sf_dir, "documents"))

@@ -693,3 +693,58 @@ class TestConnectedComponents:
         out = connected_components(df, max_iter=12).collect()
         assert len(out) == 65
         assert all(r["component_id"] == 0 and r["cluster_size"] == 65 for r in out)
+
+
+@pytest.mark.spark
+class TestDedupApply:
+    def test_keeper_assignment(self, spark):
+        from stream_reader_mzxml_spark.pipeline.curation import dedup_apply
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id BIGINT")
+        comps = spark.createDataFrame(
+            # cluster {1,3,4} keeps 1; doc 0, 2, 5 unclustered
+            [(1, 1, 3), (3, 1, 3), (4, 1, 3)],
+            "doc_id BIGINT, component_id BIGINT, cluster_size BIGINT",
+        )
+        got = {
+            (r["doc_id"], r["keeper_doc_id"], r["keep"])
+            for r in dedup_apply(docs, comps).collect()
+        }
+        assert got == {
+            (0, 0, 1), (1, 1, 1), (2, 2, 1), (3, 1, 0), (4, 1, 0), (5, 5, 1),
+        }
+
+
+@pytest.mark.spark
+class TestTfIdf:
+    def test_matches_python(self, spark):
+        import math
+        from collections import Counter
+
+        from stream_reader_mzxml_spark.pipeline.text import (
+            TFIDF_MIN_TF,
+            tfidf_scores,
+        )
+        from stream_reader_mzxml_spark.pipeline.text import h32 as _h32
+        import hashlib
+
+        rows = [
+            (0, "a b a c a b"),
+            (1, "a d d e"),
+            (2, "f f f a"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+        def h(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+        tf = {(d, h(w)): c for d, t in rows for w, c in Counter(t.split(" ")).items()}
+        df = Counter(term for (_, term) in tf)
+        n = len(rows)
+        exp = {
+            (d, term, c, df[term],
+             round(c * (math.log((n + 1) / (df[term] + 1)) + 1), 6))
+            for (d, term), c in tf.items() if c >= TFIDF_MIN_TF
+        }
+        got = {tuple(r) for r in tfidf_scores(docs).collect()}
+        assert got == exp
