@@ -10,9 +10,10 @@ deterministic synthetic sequences table) and print ONE JSON line::
      "tokens_per_sec": ..., "streaming": {...}}
 
 ``--scaling`` mode: run the identical streaming job at two parallelism levels
-(local[8] and local[32] by default — the sandbox evidence for the north_rule's
-N→4N cluster-size criterion) and report throughput at both plus the scaling
-efficiency; results also land in ``BENCH/BASELINE.md`` via ``tools/``.
+(1 and 4 cores by default — the sandbox evidence for the north_rule's N→4N
+cluster-size criterion), interleaved trials with per-trial-pair efficiency;
+``--pin`` confines each level to exactly N physical CPUs via ``taskset``
+(cgroup-faithful cluster emulation). Results land in ``BENCH/BASELINE.md``.
 
 All prints except the final JSON line go to stderr so the driver's
 one-line-JSON parse stays clean.
