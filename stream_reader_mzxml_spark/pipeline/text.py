@@ -201,6 +201,40 @@ def pii_pattern_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PII_DIGITS_RE = "[0-9]{3,}"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_NUM_TOKEN = "<NUM>"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction *apply* (q41 counts the surface; this rewrites it):
+    email-shaped tokens become ``<EMAIL>``, then remaining long digit runs
+    become ``<NUM>`` — the order matters, since an email usually contains
+    digit runs that must not be double-counted.  ``n_num_redactions`` is
+    therefore counted on the email-redacted intermediate, not the original.
+
+    Emits the redaction counts plus the redacted text's length and md5 (the
+    value-hash proof that both engines produced the identical rewritten
+    string, without shipping full text through the compare).  Pure column
+    expressions in the scan project — zero shuffles, streaming-safe.
+    """
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, PII_EMAIL_TOKEN)
+    redacted = F.regexp_replace(step1, PII_DIGITS_RE, PII_NUM_TOKEN)
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(f"({PII_EMAIL_RE})"), 1)).alias(
+            "n_email_redactions"
+        ),
+        F.size(
+            F.regexp_extract_all(step1, F.lit(f"({PII_DIGITS_RE})"), 1)
+        ).alias("n_num_redactions"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 CHUNK_LEN = 32  # tokens per training context chunk
 CHUNK_MIN_TAIL = 8  # final partial chunk kept only if at least this long
 

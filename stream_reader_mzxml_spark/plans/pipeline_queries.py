@@ -21,6 +21,7 @@ from stream_reader_mzxml_spark.pipeline import (
     curation,
     decontam,
     dedup,
+    mixing,
     multimodal,
     similarity,
     text,
@@ -889,3 +890,98 @@ def q55_dedup_apply(spark, sf_dir):
 )
 def q56_tfidf(spark, sf_dir):
     return text.tfidf_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q57 — mixture sampling: deterministic per-source downsampling to a token
+# budget. Totals are a ~#sources-row aggregate broadcast back; the keep test
+# is exact BIGINT arithmetic, so the oracle reproduces it bit-for-bit.
+# ---------------------------------------------------------------------------
+_WS_TOKS = "length(regexp_extract_all(text, '\\S+'))"
+
+
+@_register(
+    "q57_mixture_sample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_WS_TOKS} AS n_tokens FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tokens)::BIGINT AS src_tokens
+            FROM toks GROUP BY 1)
+    SELECT t.doc_id, t.source, t.n_tokens, tot.src_tokens,
+           round(least(1.0, {mixing.MIX_TARGET_TOKENS}.0 / tot.src_tokens), 6)
+             AS keep_rate,
+           CASE WHEN ({_H32.format(x="t.doc_id::VARCHAR")} % {mixing.MIX_RES})
+                     * tot.src_tokens
+                     < {mixing.MIX_TARGET_TOKENS} * {mixing.MIX_RES}
+                THEN 1 ELSE 0 END AS sampled
+    FROM toks t JOIN tot USING (source)
+    """,
+)
+def q57_mixture_sample(spark, sf_dir):
+    return mixing.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q58 — sequence packing (concat-and-split at the context length): the
+# Spark plan is a two-level distributed prefix sum (bounded window
+# partitions; no task sorts a whole Zipf-hot source); the oracle states the
+# same semantics as ONE plain window cumsum — decomposition vs declared
+# spec, as with q54's connected components.
+# ---------------------------------------------------------------------------
+@_register(
+    "q58_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_WS_TOKS} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens, cum_before,
+           (cum_before % {mixing.PACK_LEN})::BIGINT AS offset_in_seq,
+           (cum_before // {mixing.PACK_LEN})::BIGINT AS first_seq,
+           ((cum_before + greatest(n_tokens, 1) - 1) // {mixing.PACK_LEN})::BIGINT
+             AS last_seq,
+           ((cum_before + greatest(n_tokens, 1) - 1) // {mixing.PACK_LEN}
+             - cum_before // {mixing.PACK_LEN} + 1)::BIGINT AS n_seqs
+    FROM c
+    """,
+)
+def q58_sequence_packing(spark, sf_dir):
+    return mixing.sequence_packing(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q59 — PII redaction apply (q41 counts the surface; this rewrites it).
+# Emails first, then remaining digit runs; md5 of the rewritten string is
+# the proof both engines produced the identical redacted text.
+# ---------------------------------------------------------------------------
+@_register(
+    "q59_pii_redact",
+    f"""
+    WITH r AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{text.PII_EMAIL_RE}',
+                            '{text.PII_EMAIL_TOKEN}', 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id,
+           length(regexp_extract_all(text, '({text.PII_EMAIL_RE})', 1))
+             AS n_email_redactions,
+           length(regexp_extract_all(t1, '({text.PII_DIGITS_RE})', 1))
+             AS n_num_redactions,
+           length(regexp_replace(t1, '{text.PII_DIGITS_RE}',
+                                 '{text.PII_NUM_TOKEN}', 'g')) AS redacted_len,
+           md5(regexp_replace(t1, '{text.PII_DIGITS_RE}',
+                              '{text.PII_NUM_TOKEN}', 'g')) AS redacted_md5
+    FROM r
+    """,
+)
+def q59_pii_redact(spark, sf_dir):
+    return text.pii_redact(_t(spark, sf_dir, "documents"))

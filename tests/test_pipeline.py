@@ -748,3 +748,110 @@ class TestTfIdf:
         }
         got = {tuple(r) for r in tfidf_scores(docs).collect()}
         assert got == exp
+
+
+@pytest.mark.spark
+class TestMixing:
+    """mixture_sample / sequence_packing vs hand-computed Python oracles."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from stream_reader_mzxml_spark.pipeline import mixing  # noqa: F401
+
+        # two sources: one fat (must be downsampled), one thin (rate 1.0);
+        # doc_ids interleave so range buckets mix sources.
+        rows = []
+        for i in range(40):
+            src = "fat" if i % 2 == 0 else "thin"
+            n_words = 12 if src == "fat" else 3
+            rows.append((i, src, " ".join(f"w{i}x{j}" for j in range(n_words))))
+        return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    def test_mixture_rates_and_determinism(self, spark, corpus):
+        from stream_reader_mzxml_spark.pipeline import mixing
+
+        out = {
+            r.doc_id: r
+            for r in mixing.mixture_sample(
+                corpus, target_tokens=100
+            ).collect()
+        }
+        assert len(out) == 40
+        # thin source: 20 docs * 3 tokens = 60 <= 100 -> rate 1.0, all sampled
+        for i in range(1, 40, 2):
+            assert out[i].keep_rate == 1.0 and out[i].sampled == 1
+        # fat source: 240 tokens -> rate 100/240; decision is the exact
+        # integer test the module documents
+        for i in range(0, 40, 2):
+            r = out[i]
+            assert r.src_tokens == 240
+            expect = int((h32_py(str(i)) % 1_000_000) * 240 < 100 * 1_000_000)
+            assert r.sampled == expect
+        # both verdicts occur (not a degenerate all-keep / all-drop split)
+        fat = [out[i].sampled for i in range(0, 40, 2)]
+        assert 0 < sum(fat) < len(fat)
+
+    def test_packing_matches_serial_oracle(self, spark, corpus):
+        from stream_reader_mzxml_spark.pipeline import mixing
+
+        budget, width = 16, 4  # force multi-bucket prefix sums per source
+        got = {
+            r.doc_id: r
+            for r in mixing.sequence_packing(
+                corpus, budget=budget, bucket_width=width
+            ).collect()
+        }
+        # serial oracle: concat per source in doc_id order
+        by_src: dict[str, int] = {}
+        for i in range(40):
+            src = "fat" if i % 2 == 0 else "thin"
+            n = 12 if src == "fat" else 3
+            cum = by_src.get(src, 0)
+            r = got[i]
+            assert r.n_tokens == n
+            assert r.cum_before == cum, f"doc {i}"
+            assert r.offset_in_seq == cum % budget
+            assert r.first_seq == cum // budget
+            assert r.last_seq == (cum + n - 1) // budget
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+            by_src[src] = cum + n
+        # every in-sequence offset is within the budget
+        assert all(0 <= r.offset_in_seq < budget for r in got.values())
+
+    def test_packing_zero_token_doc(self, spark):
+        from stream_reader_mzxml_spark.pipeline import mixing
+
+        df = spark.createDataFrame(
+            [(0, "s", "a b c"), (1, "s", ""), (2, "s", "d e")],
+            ["doc_id", "source", "text"],
+        )
+        got = {r.doc_id: r for r in mixing.sequence_packing(df, budget=4).collect()}
+        assert got[1].n_tokens == 0
+        # a zero-token doc spans exactly the one sequence its offset is in
+        assert got[1].first_seq == got[1].last_seq and got[1].n_seqs == 1
+        assert got[2].cum_before == 3  # the empty doc adds nothing
+
+
+@pytest.mark.spark
+class TestPiiRedact:
+    def test_redaction_golden(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "mail me at bob.smith@host123.com or call 5551234 now"),
+                (1, "no pii here at all"),
+                (2, "codes 123 and 4567 twice"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in text.pii_redact(df).collect()}
+        # doc 0: the email (which contains '123') is redacted FIRST, so only
+        # the phone digit-run remains to count as a <NUM> redaction
+        assert got[0].n_email_redactions == 1
+        assert got[0].n_num_redactions == 1
+        expect0 = "mail me at <EMAIL> or call <NUM> now"
+        assert got[0].redacted_len == len(expect0)
+        assert got[0].redacted_md5 == hashlib.md5(expect0.encode()).hexdigest()
+        assert got[1].n_email_redactions == 0 and got[1].n_num_redactions == 0
+        assert got[2].n_num_redactions == 2
+        expect2 = "codes <NUM> and <NUM> twice"
+        assert got[2].redacted_md5 == hashlib.md5(expect2.encode()).hexdigest()

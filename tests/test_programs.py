@@ -190,3 +190,49 @@ class TestCandidateIons:
             assert abs(r.mz2 - d1) / d1 * 1e6 < candidate.PPM_PRECISION + 1
             assert r.int0 * candidate.BAND1_LO <= r.int1 < r.int0 * candidate.BAND1_HI
             assert r.int0 * candidate.BAND2_LO <= r.int2 < r.int0 * candidate.BAND2_HI
+
+
+class TestPrecursorMatchStreaming:
+    def test_q44_runs_on_stream(self, spark, tmp_path):
+        # q44's fused precursor-match program is one stateless projection —
+        # it must run unchanged as a streaming query and emit the batch rows
+        # row-for-row (mirrors TestCandidateIons.test_fused_runs_on_stream).
+        import uuid
+
+        import numpy as np
+
+        from stream_reader_mzxml_spark.plans.program_queries import (
+            precursor_match_scores,
+        )
+
+        rng = np.random.RandomState(44)
+        rows = [
+            (int(i), [float(x) for x in rng.standard_normal(64)])
+            for i in range(150)
+        ]
+        emb = _emb(spark, rows)
+        src = str(tmp_path / "emb_stream_q44")
+        emb.repartition(4).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = precursor_match_scores(stream)
+        name = f"q44s_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = ["num", "rt", "m0", "i0", "score_di", "score_nl", "report"]
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}")
+                         .select(cols).collect()))
+        exp = sorted(map(tuple, precursor_match_scores(emb)
+                         .select(cols).collect()))
+        assert len(exp) > 0
+        assert got == exp
