@@ -156,6 +156,47 @@ def salted_top_k(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order: list[Column],
+    bucket: Column,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY ...)`` without the single-task
+    window (Spark warns "Moving all data to a single partition" — the classic
+    global-rank scale hazard). Two-level decomposition, the rank analog of
+    ``pipeline/mixing.py``'s distributed prefix sum:
+
+      1. per-bucket row counts — a tiny aggregate (#buckets rows);
+      2. cumulative bucket offsets — an ordered window over the PARTIALS
+         table only, never the data;
+      3. within-bucket ``row_number`` — partitions bounded by bucket
+         population — plus the broadcast offset.
+
+    ``bucket`` must be order-aligned: non-decreasing along the global sort
+    order (e.g. ``floor(-mz0)`` for a ``desc(mz0)`` sort). Rows that tie on
+    the bucket value are ordered by the within-bucket ``order``, so ties
+    never straddle the decomposition. Equality with the plain global window
+    is pinned by a pytest oracle (test_operators_rank)."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("__b", bucket)
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    ow = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(ow), F.lit(0)).alias("__off")
+    )
+    ww = Window.partitionBy("__b").orderBy(*order)
+    return (
+        b.join(F.broadcast(offsets), ["__b"])
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(ww)).cast("int"))
+        .drop("__b", "__off")
+    )
+
+
 def stream_cardinality(df: DataFrame, name: str = "n_rows"):
     """A6 — stream cardinality via ``observe`` (no second pass).
 

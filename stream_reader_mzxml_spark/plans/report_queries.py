@@ -129,7 +129,9 @@ def q43b_sketch_bounds(spark, sf_dir):
 #   ';'-CSV render (:138-154)           → formatted concat column
 #
 # Tolerances re-scaled to the synthetic grid (reference values in comments);
-# the fused shape is q39's: zero shuffles until the final (small) rank window.
+# the fused shape is q39's: zero shuffles until the final global rank, which
+# is the two-level distributed_rank (no single-partition window even if the
+# matched report is NOT small).
 # ---------------------------------------------------------------------------
 _Q45_RT_LO, _Q45_RT_HI = 100.0, 3500.0  # startRT/endRT (ref: CLI, None)
 _Q45_MIN_INT = 500.0                    # minIntensity  (ref 7500, :21)
@@ -258,14 +260,21 @@ def q45_glucosinolates(spark, sf_dir):
         F.col("x.near2.mz").alias("mz2_raw"),
         F.col("x.near2.intensity").alias("int2"),
     )
-    # stable sortBy(-mz0) (:133): the matched set is the REDUCED result
-    # (~1% of peaks), so the single-partition rank window is bounded; the
-    # salted two-phase form (q36) is the lever if a report ever isn't small
-    w = Window.orderBy(F.desc("mz0_raw"), F.asc("num"), F.asc("pos"))
+    # stable sortBy(-mz0) (:133): a GLOBAL rank, decomposed two-level
+    # (operators/aggregates.py:distributed_rank) so no single task ever
+    # windows the whole report — bucket floor(-mz0) is order-aligned with
+    # the desc(mz0) sort, within-bucket ties break on stream order (num,pos)
+    from stream_reader_mzxml_spark.operators.aggregates import distributed_rank
+
+    ranked = distributed_rank(
+        rows,
+        order=[F.desc("mz0_raw"), F.asc("num"), F.asc("pos")],
+        bucket=F.floor(-F.col("mz0_raw")),
+    )
     mz0 = F.round("mz0_raw", 6)
     mz1 = F.round("mz1_raw", 6)
     mz2 = F.round("mz2_raw", 6)
-    return rows.crossJoin(F.broadcast(tot)).select(
+    return ranked.crossJoin(F.broadcast(tot)).select(
         "num",
         "pos",
         "rt",
@@ -275,7 +284,7 @@ def q45_glucosinolates(spark, sf_dir):
         "int1",
         mz2.alias("mz2"),
         "int2",
-        F.row_number().over(w).alias("rank"),
+        "rank",
         "n_spectra",
         F.format_string(
             "%.1f;%.6f;%.1f;%.6f;%.1f;%.6f;%.1f",

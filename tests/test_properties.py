@@ -168,3 +168,44 @@ class TestHashProperties:
             assert r.h60 == int(d[:15], 16)
             assert 0 <= r.h32 < 1 << 32
             assert 0 <= r.h60 < 1 << 60
+
+
+@pytest.mark.spark
+class TestDistributedRankProperties:
+    @_settings
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-50, max_value=50),  # value (few buckets)
+                st.integers(min_value=0, max_value=10**6),  # unique-ish id
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_distributed_rank_equals_global_window(self, spark, rows):
+        # the two-level rank must equal a plain global row_number for ANY
+        # input, including bucket-boundary values and heavy ties on v
+        from stream_reader_mzxml_spark.operators.aggregates import (
+            distributed_rank,
+        )
+
+        seen, data = set(), []
+        for v, i in rows:
+            if i not in seen:
+                seen.add(i)
+                data.append((float(v) / 3.0, i))  # fractional: ties + boundaries
+        df = spark.createDataFrame(data, ["v", "id"])
+        order = [F.desc("v"), F.asc("id")]
+        got = sorted(
+            (r.v, r.id, r.rank)
+            for r in distributed_rank(
+                df, order=order, bucket=F.floor(-F.col("v"))
+            ).collect()
+        )
+        w = Window.orderBy(*order)
+        exp = sorted(
+            (r.v, r.id, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w)).collect()
+        )
+        assert got == exp

@@ -30,6 +30,8 @@ ALLOWED_CARTESIAN = {
     "q45_glucosinolates",  # 1-row broadcast two-pass-count (n_spectra) cross join
     "q47_gluco_delta_stats",  # q35's ion theta-join + 1-row precursor-stats × 1-row folds
     "q49_ivf_ann_topk",  # 1-row broadcast centroid-array cross join (corpus + probes)
+    "q53_source_drift",  # #sources × #buckets densify + 1-row corpus total (all tiny)
+    "q56_tfidf",  # 1-row broadcast corpus doc-count cross join
 }
 
 
