@@ -53,6 +53,15 @@ HEADLINE = [
     "q35_candidate_ions",
     "q36_salted_topk",
     "q39_candidate_ions_fused",
+    # corpus-pipeline heavies (round 3): curation composite, line-level
+    # segment dedup, mixture sampling, sequence packing (distributed
+    # prefix sum). q54 clusters is excluded: its wall is dominated by
+    # per-round fixed latency at local scale (2-3 rounds x ~1.5 s), which
+    # measures the scheduler, not the engine.
+    "q42_corpus_curation",
+    "q51_segment_dedup",
+    "q57_mixture_sample",
+    "q58_sequence_packing",
 ]
 
 # streaming suite sizing: rows scale with sf (sf0.1 → 200k rows ≈ 14M tokens)

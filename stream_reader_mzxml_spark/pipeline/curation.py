@@ -26,9 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stream_reader_mzxml_spark.pipeline.text import (
-    lang_id,
-    pii_pattern_counts,
-    quality_features,
+    has_pii_col,
+    pred_lang_col,
+    quality_score_col,
     repetition_features,
 )
 
@@ -37,24 +37,30 @@ MAX_REP_RATIO = 0.5
 
 
 def curate(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc curation verdict over the documents table."""
-    quality = quality_features(df, text_col).select("doc_id", "quality_score")
-    lang = lang_id(df, text_col).select("doc_id", "pred_lang")
-    pii = pii_pattern_counts(df, text_col).select("doc_id", "has_pii_surface")
+    """Per-doc curation verdict over the documents table.
+
+    All scan-side features (quality score, language verdict, PII surface,
+    content digest) are ONE fused projection of the single documents scan —
+    never a join of per-feature subqueries, which would rescan and re-parse
+    the text once per feature. Only the two genuinely aggregating signals
+    join back: within-doc repetition (its own explode+groupBy pass) and the
+    exact-dup keeper (digest groupBy over the fused scan's 16-byte hash).
+    """
+    t = F.col(text_col)
+    base = df.select(
+        "doc_id",
+        F.md5(t).alias("h"),
+        quality_score_col(t).alias("quality_score"),
+        pred_lang_col(t).alias("pred_lang"),
+        has_pii_col(t).alias("has_pii_surface"),
+    )
     rep = repetition_features(df, text_col).select("doc_id", "rep_ratio")
     keeper = (
-        df.select(F.md5(F.col(text_col)).alias("h"), "doc_id")
+        base.select("h", "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
-    base = (
-        df.select("doc_id", F.md5(F.col(text_col)).alias("h"))
-        .join(quality, ["doc_id"])
-        .join(lang, ["doc_id"])
-        .join(pii, ["doc_id"])
-        .join(rep, ["doc_id"], "left")
-        .join(keeper, ["h"])
-    )
+    base = base.join(rep, ["doc_id"], "left").join(keeper, ["h"])
     rep_ratio = F.coalesce(F.col("rep_ratio"), F.lit(0.0))
     fail_quality = F.col("quality_score") < MIN_QUALITY
     fail_rep = rep_ratio > MAX_REP_RATIO

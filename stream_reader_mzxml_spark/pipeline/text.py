@@ -65,11 +65,10 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring: length / mean-word-length / stopword-ratio features
-    and a composite score. Mirrors the heuristic-filter stage of web-scale
-    corpus pipelines (C4/Gopher-style rules), as plain column arithmetic."""
-    t = F.col(text_col)
+def _quality_parts(t: Column) -> dict[str, Column]:
+    """Quality-feature expressions over a text column — shared by the
+    standalone ``quality_features`` query and the fused single-scan
+    projection in ``curation.curate`` (the composite must not rescan)."""
     ws = words(t)
     n_words = F.size(ws)
     sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
@@ -86,6 +85,59 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             )
         )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "n_stopwords": n_stop,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score_col(t: Column) -> Column:
+    """The composite quality score as a single expression (fusable)."""
+    return _quality_parts(t)["quality_score"]
+
+
+def pred_lang_col(t: Column) -> Column:
+    """Language-ID verdict as a single expression (fusable): per-language
+    stopword hit-rate argmax, ties to the earliest language code, 'und'
+    when nothing matches."""
+    ws = words(t)
+    langs = sorted(LANG_STOPWORDS)
+
+    def _hits(stopwords: list[str]):
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        return F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+
+    hits = {lang: _hits(LANG_STOPWORDS[lang]) for lang in langs}
+    max_hits = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # reversed: earliest code wins ties
+        pred = F.when(
+            (hits[lang] == max_hits) & (max_hits > 0), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def has_pii_col(t: Column) -> Column:
+    """Email-surface presence as a single expression (fusable)."""
+    return (
+        F.size(F.regexp_extract_all(t, F.lit("([a-z0-9.]+@[a-z0-9.]+)"), 1)) > 0
+    ).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / mean-word-length / stopword-ratio features
+    and a composite score. Mirrors the heuristic-filter stage of web-scale
+    corpus pipelines (C4/Gopher-style rules), as plain column arithmetic."""
+    p = _quality_parts(F.col(text_col))
+    n_words, mean_wlen = p["n_words"], p["mean_word_len"]
+    n_stop, stop_ratio, score = (
+        p["n_stopwords"],
+        p["stop_ratio"],
+        p["quality_score"],
     )
     return df.select(
         "doc_id",
