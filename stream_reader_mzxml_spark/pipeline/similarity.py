@@ -254,3 +254,111 @@ def lsh_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+KM_QUANT = 1_000_000  # fixed-point scale for exact-integer k-means arithmetic
+KM_DIM = 64
+
+
+def kmeans_step(
+    emb: DataFrame,
+    stride: int = IVF_STRIDE,
+    dim: int = KM_DIM,
+    quant: int = KM_QUANT,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding column — the
+    iterative-refinement step of semantic clustering (topic bucketing /
+    semantic dedup over a training corpus). Seeds are deterministic data
+    rows (``vec_id % stride == 0``), as in ``ivf_topk``.
+
+    Everything is **exact fixed-point integer arithmetic** so a SQL oracle
+    reproduces it bit-for-bit: vectors quantize to ``round(x * quant)``
+    BIGINTs; squared distances, the argmin assignment (ties to the lower
+    centroid id) and the per-dimension member sums are integer-exact; only
+    the final reported mean divides (one IEEE double op, identical in both
+    engines). No float accumulation order can diverge.
+
+    Scale shape (what a 1000-executor run needs):
+    - assignment is a fold over the 1-row broadcast centroid array — a
+      scan-side column expression, zero shuffles, no Python (q39's pattern);
+    - the update is ONE groupBy(cluster) with ``dim`` per-dimension sums —
+      map-side partial aggregation, no per-dimension row explosion before
+      the shuffle (the k×dim fan-out happens post-agg on k rows);
+    - inertia rides the same aggregate as an exact BIGINT sum.
+
+    Returns (cluster_id, n_members, inertia_q, dim, sum_q, mean) — one row
+    per (cluster, dimension), the new centroid in exact and float form.
+    """
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    pts = emb.select(F.col(id_col).alias("vid"), qv.alias("q"))
+    cents = pts.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cq"))).alias("cs")
+    )
+
+    def d2(cq):
+        return F.aggregate(
+            F.zip_with(F.col("q"), cq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(c["cid"].alias("cid"), d2(c["cq"]).alias("d2")),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"),
+            F.lit(2**62).cast("long").alias("d2"),
+        ),
+        lambda acc, s: F.when(
+            (s["d2"] < acc["d2"])
+            | ((s["d2"] == acc["d2"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(carr))
+        .withColumn("b", best)
+        .select(
+            "vid",
+            "q",
+            F.col("b.cid").alias("cluster_id"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+    sums = [
+        F.sum(F.element_at("q", i)).alias(f"_s{i}") for i in range(1, dim + 1)
+    ]
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia_q"),
+        *sums,
+    )
+    dims = F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(1, dim + 1)]))
+    # mean rounded to 6 dp in EXACT integer arithmetic (half away from zero):
+    # float round() semantics differ across engines on representational ties
+    # (shortest-repr vs exact-binary HALF_UP), so the rounding itself stays
+    # integer and only the final /1e6 is a float op — same double everywhere.
+    numer = F.col("sum_q") * F.lit(1_000_000).cast("long")
+    denom = F.col("n_members") * F.lit(int(quant))
+    mean_e6 = F.signum(F.col("sum_q")).cast("long") * F.floor(
+        (2 * F.abs(numer) + denom) / (2 * denom)
+    )
+    return agg.select(
+        "cluster_id", "n_members", "inertia_q", dims.alias("pos", "sum_q")
+    ).select(
+        "cluster_id",
+        "n_members",
+        "inertia_q",
+        (F.col("pos") + 1).alias("dim"),
+        "sum_q",
+        (mean_e6 / F.lit(1e6)).alias("mean"),
+    )

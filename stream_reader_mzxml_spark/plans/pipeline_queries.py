@@ -985,3 +985,54 @@ def q58_sequence_packing(spark, sf_dir):
 )
 def q59_pii_redact(spark, sf_dir):
     return text.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q60 — k-means Lloyd step (exact fixed-point): broadcast-fold assignment
+# (zero-shuffle), ONE groupBy(cluster) with per-dim sums, k×dim fan-out
+# post-agg. Integer-exact throughout; the only float op is the final mean
+# division, identical IEEE in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "q60_kmeans_step",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> round(x::DOUBLE * {similarity.KM_QUANT})::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, qv AS cq FROM q
+          WHERE vec_id % {similarity.IVF_STRIDE} = 0),
+    d AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, {similarity.KM_DIM}),
+                              i -> (q.qv[i] - c.cq[i]) * (q.qv[i] - c.cq[i]))),
+               (a, x) -> a + x) AS d2
+      FROM q, c
+    ),
+    asn AS (
+      SELECT vec_id, qv, cid AS cluster_id, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d
+      ) WHERE r = 1
+    ),
+    g AS (
+      SELECT a.cluster_id, gs.i AS dim,
+             count(*) AS n_members,
+             sum(a.d2)::BIGINT AS inertia_q,
+             sum(a.qv[gs.i])::BIGINT AS sum_q
+      FROM asn a CROSS JOIN (SELECT unnest(generate_series(1, {similarity.KM_DIM})) AS i) gs
+      GROUP BY 1, 2
+    )
+    SELECT cluster_id, n_members, inertia_q, dim, sum_q,
+           (CASE WHEN sum_q < 0 THEN -1 ELSE 1 END
+            * ((2 * abs(sum_q * 1000000) + n_members * {similarity.KM_QUANT})
+               // (2 * n_members * {similarity.KM_QUANT}))) / 1e6 AS mean
+    FROM g
+    """,
+)
+def q60_kmeans_step(spark, sf_dir):
+    return similarity.kmeans_step(_t(spark, sf_dir, "embeddings"))

@@ -855,3 +855,49 @@ class TestPiiRedact:
         assert got[2].n_num_redactions == 2
         expect2 = "codes <NUM> and <NUM> twice"
         assert got[2].redacted_md5 == hashlib.md5(expect2.encode()).hexdigest()
+
+
+@pytest.mark.spark
+class TestKMeansStep:
+    def test_step_matches_numpy_lloyd(self, spark):
+        from stream_reader_mzxml_spark.pipeline.similarity import (
+            KM_QUANT,
+            kmeans_step,
+        )
+
+        rng = np.random.RandomState(60)
+        X = rng.standard_normal((40, 64)).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in range(40)],
+            ["vec_id", "embedding"],
+        )
+        stride = 13  # seeds: 0, 13, 26, 39
+        got = kmeans_step(emb, stride=stride).collect()
+
+        # numpy oracle in the same exact fixed-point arithmetic
+        Q = np.round(X.astype(np.float64) * KM_QUANT).astype(np.int64)
+        seeds = [i for i in range(40) if i % stride == 0]
+        C = Q[seeds]
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (40, 4)
+        assign = np.array([seeds[j] for j in d2.argmin(axis=1)])
+        by = {}
+        for cl in sorted(set(assign)):
+            m = assign == cl
+            by[cl] = (
+                int(m.sum()),
+                int(d2[m, seeds.index(cl)].sum()),
+                Q[m].sum(axis=0),
+            )
+        assert {r.cluster_id for r in got} == set(by)
+        for r in got:
+            n, inertia, sums = by[r.cluster_id]
+            assert r.n_members == n
+            assert r.inertia_q == inertia
+            assert r.sum_q == int(sums[r.dim - 1])
+            # the engine rounds in exact integer arithmetic (half away
+            # from zero at 6 dp) — replicate the same integers here
+            sq = int(sums[r.dim - 1])
+            numer, denom = abs(sq) * 1_000_000, n * KM_QUANT
+            sign = -1 if sq < 0 else 1
+            exp_mean = sign * ((2 * numer + denom) // (2 * denom)) / 1e6
+            assert r.mean == exp_mean
