@@ -457,3 +457,37 @@ def tfidf_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "df",
         F.round(F.col("tf") * idf, 6).alias("tf_idf"),
     )
+
+
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = BPE_TOP_K
+) -> DataFrame:
+    """BPE tokenizer-training inner loop: corpus-wide adjacent symbol-pair
+    frequencies (character bigrams within words), top-``k`` merge candidates.
+    The most frequent pair is exactly what a byte-pair-encoding trainer
+    merges next; running this per merge round over 100 TB is the canonical
+    distributed-tokenizer-training workload.
+
+    Plan: scan-side double fan-out (words → in-word pairs, no shuffle), ONE
+    groupBy(pair) with map-side partial aggregation (the Zipf-hot pairs —
+    'th', 'he' — combine locally before the shuffle, and the post-combine
+    key space is at most |alphabet|², tiny), then a global ordered top-k
+    which Spark executes as TakeOrderedAndProject (per-partition heads
+    merged on the driver — never a full sort)."""
+    pairs = F.expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"
+    )
+    ex = (
+        df.select(F.explode(words(F.col(text_col))).alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+    )
+    return (
+        ex.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )

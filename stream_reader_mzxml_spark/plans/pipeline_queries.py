@@ -1036,3 +1036,27 @@ def q59_pii_redact(spark, sf_dir):
 )
 def q60_kmeans_step(spark, sf_dir):
     return similarity.kmeans_step(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q61 — BPE pair frequencies (the tokenizer-training inner loop): scan-side
+# word→pair fan-out, ONE map-side-combined groupBy over a ≤|alphabet|² key
+# space, global top-k as TakeOrderedAndProject (never a full sort).
+# ---------------------------------------------------------------------------
+@_register(
+    "q61_bpe_pair_counts",
+    f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    p AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substring(word, i, 2))) AS pair
+      FROM w WHERE length(word) >= 2
+    )
+    SELECT pair, count(*) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT {text.BPE_TOP_K}
+    """,
+)
+def q61_bpe_pair_counts(spark, sf_dir):
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"))

@@ -901,3 +901,20 @@ class TestKMeansStep:
             sign = -1 if sq < 0 else 1
             exp_mean = sign * ((2 * numer + denom) // (2 * denom)) / 1e6
             assert r.mean == exp_mean
+
+
+@pytest.mark.spark
+class TestBpePairs:
+    def test_pair_counts_match_python(self, spark):
+        from collections import Counter
+
+        rows = [(0, "banana band"), (1, "an ban a"), (2, "x")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [(r.pair, r.cnt) for r in text.bpe_pair_counts(df, k=5).collect()]
+        c = Counter()
+        for _, t in rows:
+            for w in t.split(" "):
+                for i in range(len(w) - 1):
+                    c[w[i : i + 2]] += 1
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == exp
