@@ -222,6 +222,7 @@ def bench_once(
     sf = sf_of(sf_dir)
     n_rows = max(20_000, int(SEQ_ROWS_PER_SF * sf)) * rows_mult
     seq_path, total_tokens = ensure_sequences(n_rows)
+    load_before = os.getloadavg()
     log(f"[bench] cpus={cpus} sf={sf} seq_rows={n_rows} clean_tokens={total_tokens}")
 
     conf = {
@@ -260,6 +261,12 @@ def bench_once(
         "streaming": streaming,
         "stream_tokens": total_tokens,
         "tokens_per_sec": tokens_per_sec,
+        # host 1-min loadavg at suite start/end: this sandbox shares a box
+        # with unrelated tenants whose spikes (documented in BASELINE.md)
+        # inflate wall times 3-10x; these fields let any recorded run be
+        # adjudicated as clean or contended without external context
+        "loadavg_before": round(load_before[0], 2),
+        "loadavg_after": round(os.getloadavg()[0], 2),
     }
 
 
