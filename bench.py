@@ -116,7 +116,9 @@ def ensure_sequences(n_rows: int, seed: int = SEQ_SEED) -> tuple[str, int]:
     return path, total
 
 
-def run_batch_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_batch_suite(
+    spark, sf_dir: str, loads: dict[str, float] | None = None
+) -> dict[str, float]:
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -129,7 +131,11 @@ def run_batch_suite(spark, sf_dir: str) -> dict[str, float]:
         # noop write executes the full plan distributed, no driver collect
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
-        log(f"  {name}: {times[name]:.2f}s")
+        # 1-min loadavg snapshot per query: external tenant spikes arrive in
+        # waves mid-suite; per-query samples localize which timings they hit
+        if loads is not None:
+            loads[name] = round(os.getloadavg()[0], 2)
+        log(f"  {name}: {times[name]:.2f}s (load {os.getloadavg()[0]:.1f})")
     return times
 
 
@@ -241,8 +247,11 @@ def bench_once(
         shuffle_partitions=shuffle_partitions or cpus,
         extra_conf=conf,
     )
+    query_loads: dict[str, float] = {}
     try:
-        queries = {} if streaming_only else run_batch_suite(spark, sf_dir)
+        queries = (
+            {} if streaming_only else run_batch_suite(spark, sf_dir, query_loads)
+        )
         streaming = run_streaming_suite(spark, seq_path, total_tokens, n_batches)
     finally:
         spark.stop()
@@ -267,6 +276,7 @@ def bench_once(
         # adjudicated as clean or contended without external context
         "loadavg_before": round(load_before[0], 2),
         "loadavg_after": round(os.getloadavg()[0], 2),
+        "loadavg_by_query": query_loads,
     }
 
 

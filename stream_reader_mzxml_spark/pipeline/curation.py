@@ -55,8 +55,12 @@ def curate(df: DataFrame, text_col: str = "text") -> DataFrame:
         has_pii_col(t).alias("has_pii_surface"),
     )
     rep = repetition_features(df, text_col).select("doc_id", "rep_ratio")
+    # keeper derives from the RAW scan, not `base`: deriving it from base
+    # would duplicate the whole fused feature tree in the logical plan (it
+    # appears once per join branch), doubling what the optimizer and codegen
+    # must process for a subtree that only needs the 16-byte digest
     keeper = (
-        base.select("h", "doc_id")
+        df.select(F.md5(t).alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("keeper_doc_id"))
     )
