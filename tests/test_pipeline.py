@@ -918,3 +918,37 @@ class TestBpePairs:
                     c[w[i : i + 2]] += 1
         exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
         assert got == exp
+
+
+@pytest.mark.spark
+class TestPiiRedactStreaming:
+    def test_redact_runs_on_stream(self, spark, tmp_path):
+        # pii_redact is one stateless projection — it must run unchanged on
+        # a stream and emit the batch rows row-for-row
+        import uuid
+
+        rows = [
+            (i, f"doc {i} mail a{i}@b{i}.org code {1000 + i}") for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        src = str(tmp_path / "docs_stream")
+        df.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"redact_{uuid.uuid4().hex[:8]}"
+        q = (
+            text.pii_redact(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, text.pii_redact(df).collect()))
+        assert len(exp) == 60
+        assert got == exp
