@@ -151,3 +151,77 @@ def dedup_apply(
         .cast("int")
         .alias("keep"),
     )
+
+
+def training_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full training-data pipeline composed end-to-end — the LLM-data
+    flagship, mirroring how the composed reference programs (q35/q44/q45)
+    chain their stages into one declarative plan:
+
+      curation verdict (``curate``)            → quality/lang/PII/exact-dup
+      → near-dup dedup over survivors          → MinHash LSH pairs →
+        (``dedup.connected_components`` +        connected components →
+         ``dedup_apply``)                        one keeper per cluster
+      → mixture sampling over survivors        → per-source token budget,
+        (``mixing.mixture_sample``)              exact-integer keep test
+      → sequence packing over the sample       → concat-and-split at the
+        (``mixing.sequence_packing``)            context length
+
+    Emits ONE row per original document with stage attribution: a doc
+    dropped at stage k has NULL verdicts for stages > k, so the manifest
+    answers both "what does the trainer read" (rows with ``first_seq``) and
+    "why is everything else gone" (first NULL column). Every stage is the
+    already-oracle-proven operator — the composition adds joins on doc_id
+    only, never new math.
+
+    Scale: each stage consumes the previous stage's survivors (monotone
+    shrinking), and the final manifest is doc_id-keyed left joins of
+    verdict-only columns — the text never rides any of them.
+    """
+    from stream_reader_mzxml_spark.pipeline import dedup as dd
+    from stream_reader_mzxml_spark.pipeline import mixing
+
+    cur = curate(docs, text_col).select(
+        "doc_id", F.col("keep").alias("keep_curation")
+    )
+    kept = docs.join(
+        cur.filter(F.col("keep_curation") == 1).select("doc_id"), ["doc_id"]
+    )
+    comps = dd.connected_components(
+        dd.minhash_lsh_pairs(kept, threshold=0.5)
+    )
+    ded = dedup_apply(kept, comps).select(
+        "doc_id", F.col("keep").alias("keep_dedup")
+    )
+    surv2 = kept.join(
+        ded.filter(F.col("keep_dedup") == 1).select("doc_id"), ["doc_id"]
+    )
+    mix = mixing.mixture_sample(surv2, text_col=text_col).select(
+        "doc_id", "sampled"
+    )
+    surv3 = surv2.join(
+        mix.filter(F.col("sampled") == 1).select("doc_id"), ["doc_id"]
+    )
+    pack = mixing.sequence_packing(surv3, text_col=text_col).select(
+        "doc_id", "cum_before", "first_seq", "last_seq"
+    )
+    base = docs.select(
+        "doc_id", "source", mixing._ws_tokens(text_col).alias("n_tokens")
+    )
+    return (
+        base.join(cur, ["doc_id"], "left")
+        .join(ded, ["doc_id"], "left")
+        .join(mix, ["doc_id"], "left")
+        .join(pack, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "keep_curation",
+            "keep_dedup",
+            "sampled",
+            "cum_before",
+            "first_seq",
+            "last_seq",
+        )
+    )

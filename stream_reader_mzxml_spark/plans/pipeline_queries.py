@@ -218,7 +218,7 @@ def q25_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q26 — MinHash + LSH near-dup candidates with estimated Jaccard
 # ---------------------------------------------------------------------------
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
     r = k // bands
     mins = ",\n        ".join(
@@ -226,7 +226,7 @@ def _minhash_sql() -> str:
         for a, b in dedup.MINHASH_PERMS[:k]
     )
     return f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
     sig AS (
       SELECT doc_id, [

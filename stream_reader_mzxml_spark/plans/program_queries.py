@@ -397,7 +397,7 @@ def q41_pii_patterns(spark, sf_dir):
 # exact-dedup keeper → keep/drop verdict with first-failing-gate attribution
 # (the LLM-data analog of the reference's composed flagship program).
 # ---------------------------------------------------------------------------
-def _q42_sql() -> str:
+def _q42_sql(src: str = "documents") -> str:
     from stream_reader_mzxml_spark.pipeline import curation
     from stream_reader_mzxml_spark.pipeline.text import LANG_STOPWORDS
 
@@ -419,7 +419,7 @@ def _q42_sql() -> str:
     return f"""
     WITH w AS (
       SELECT doc_id, text, string_split(text, ' ') AS ws, length(text) AS nc
-      FROM documents
+      FROM {src}
     ),
     q AS (
       SELECT doc_id,
@@ -454,17 +454,17 @@ def _q42_sql() -> str:
       SELECT doc_id,
              (length(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) > 0)::INT
                AS has_pii_surface
-      FROM documents
+      FROM {src}
     ),
     keeper AS (
       SELECT md5(text) AS h, min(doc_id) AS keeper_doc_id
-      FROM documents GROUP BY 1
+      FROM {src} GROUP BY 1
     ),
     j AS (
       SELECT d.doc_id, q.quality_score, l.pred_lang,
              coalesce(rep.rep_ratio, 0.0) AS rep_ratio,
              pii.has_pii_surface, k.keeper_doc_id
-      FROM documents d
+      FROM {src} d
       JOIN q ON d.doc_id = q.doc_id
       JOIN l ON d.doc_id = l.doc_id
       JOIN pii ON d.doc_id = pii.doc_id
@@ -698,3 +698,98 @@ def q43_sketch_stats(spark, sf_dir):
         F.percentile_approx("value", 0.99, 10000).alias("ap99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — the training-data pipeline composed end-to-end (curation → near-dup
+# dedup → mixture sampling → sequence packing) with per-stage attribution:
+# the LLM-data flagship, built purely from the already-oracle-proven stage
+# operators (q42, q26+q54+q55, q57, q58). The oracle restates the SAME
+# composition over the stage oracles' SQL, including the recursive-closure
+# component semantics — so the whole chain is value-proven, not just parts.
+# ---------------------------------------------------------------------------
+def _q62_sql() -> str:
+    from stream_reader_mzxml_spark.pipeline import mixing
+    from stream_reader_mzxml_spark.plans.pipeline_queries import (
+        _H32,
+        _minhash_sql,
+    )
+
+    ws = "length(regexp_extract_all({t}, '\\S+'))"
+    B = mixing.PACK_LEN
+    return f"""
+    WITH RECURSIVE
+    curv AS (SELECT doc_id, keep FROM ({_q42_sql()})),
+    kept AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN curv c ON d.doc_id = c.doc_id AND c.keep = 1
+    ),
+    pr AS (SELECT a_id, b_id FROM ({_minhash_sql("kept")})),
+    edges AS (
+      SELECT a_id AS a, b_id AS b FROM pr
+      UNION
+      SELECT b_id, a_id FROM pr
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, min(r) AS keeper FROM reach GROUP BY n),
+    ded AS (
+      SELECT k.doc_id,
+             CASE WHEN coalesce(c.keeper, k.doc_id) = k.doc_id
+                  THEN 1 ELSE 0 END AS keep_dedup
+      FROM kept k LEFT JOIN comp c USING (doc_id)
+    ),
+    toks2 AS (
+      SELECT k.doc_id, k.source, {ws.format(t="k.text")} AS n_tokens
+      FROM kept k JOIN ded ON k.doc_id = ded.doc_id AND ded.keep_dedup = 1
+    ),
+    tot AS (SELECT source, sum(n_tokens)::BIGINT AS src_tokens
+            FROM toks2 GROUP BY 1),
+    mix AS (
+      SELECT t.doc_id,
+             CASE WHEN ({_H32.format(x="t.doc_id::VARCHAR")} % {mixing.MIX_RES})
+                       * tot.src_tokens
+                       < {mixing.MIX_TARGET_TOKENS} * {mixing.MIX_RES}
+                  THEN 1 ELSE 0 END AS sampled
+      FROM toks2 t JOIN tot USING (source)
+    ),
+    surv3 AS (
+      SELECT t.doc_id, t.source, t.n_tokens
+      FROM toks2 t JOIN mix ON t.doc_id = mix.doc_id AND mix.sampled = 1
+    ),
+    pk AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM surv3
+    ),
+    pk2 AS (
+      SELECT doc_id, cum_before,
+             (cum_before // {B})::BIGINT AS first_seq,
+             ((cum_before + greatest(n_tokens, 1) - 1) // {B})::BIGINT
+               AS last_seq
+      FROM pk
+    )
+    SELECT d.doc_id, d.source, {ws.format(t="d.text")} AS n_tokens,
+           curv.keep AS keep_curation,
+           ded.keep_dedup, mix.sampled,
+           pk2.cum_before, pk2.first_seq, pk2.last_seq
+    FROM documents d
+    LEFT JOIN curv ON d.doc_id = curv.doc_id
+    LEFT JOIN ded ON d.doc_id = ded.doc_id
+    LEFT JOIN mix ON d.doc_id = mix.doc_id
+    LEFT JOIN pk2 ON d.doc_id = pk2.doc_id
+    """
+
+
+@_register("q62_training_manifest", _q62_sql())
+def q62_training_manifest(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline.curation import training_manifest
+
+    return training_manifest(_t(spark, sf_dir, "documents"))

@@ -952,3 +952,34 @@ class TestPiiRedactStreaming:
         exp = sorted(map(tuple, text.pii_redact(df).collect()))
         assert len(exp) == 60
         assert got == exp
+
+
+@pytest.mark.spark
+class TestTrainingManifest:
+    def test_stage_attribution_is_monotone(self, spark):
+        from stream_reader_mzxml_spark.pipeline.curation import (
+            training_manifest,
+        )
+
+        good = "the quick brown fox jumps of the lazy dog and it runs to town"
+        rows = [(i, f"s{i % 2}", good + f" tail{i}") for i in range(20)]
+        rows.append((20, "s0", "too few"))      # dropped at curation
+        rows.append((21, "s1", good + " tail1"))  # exact dup of doc 1
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = {r.doc_id: r for r in training_manifest(df).collect()}
+        assert len(out) == 22
+        for r in out.values():
+            # stage verdicts are monotone: NULL after the first drop
+            if r.keep_curation == 0:
+                assert r.keep_dedup is None and r.sampled is None
+                assert r.first_seq is None
+            elif r.keep_dedup == 0:
+                assert r.sampled is None and r.first_seq is None
+            elif r.sampled == 0:
+                assert r.first_seq is None
+            else:
+                assert r.first_seq is not None and r.last_seq >= r.first_seq
+        assert out[20].keep_curation == 0
+        assert out[21].keep_curation == 0  # exact dup loses to doc 1
+        # at least one doc reaches the packed stage
+        assert any(r.first_seq is not None for r in out.values())
