@@ -44,7 +44,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 12g, not "as much as the box has": GC logs across the full bench
+        # suite show ~1.6g live / 11.6g peak committed. An oversized max
+        # lets G1 grow the heap in large increments, and each expansion is
+        # a page-commit + THP-compaction storm (observed: 4-5 cores of
+        # kernel time for tens of seconds, stalling whichever query
+        # triggered it — the round-3 "random mid-suite stall"). A bounded
+        # max caps expansion size; pre-touch was measured WORSE (one giant
+        # storm at startup, ~240MB/s under kcompactd on this kernel).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
         # The generated-class cache defaults to 100 entries — a query battery
