@@ -293,10 +293,24 @@ def kmeans_step(
     qv = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * quant).cast("long")
     )
-    pts = emb.select(F.col(id_col).alias("vid"), qv.alias("q"))
+    pts = _km_quantize(emb, quant, id_col)
     cents = pts.filter(F.col("vid") % stride == 0).select(
         F.col("vid").alias("cid"), F.col("q").alias("cq")
     )
+    return _km_select(_km_aggregate(_km_assign(pts, cents), dim, quant))
+
+
+def _km_quantize(emb: DataFrame, quant: int, id_col: str) -> DataFrame:
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    return emb.select(F.col(id_col).alias("vid"), qv.alias("q"))
+
+
+def _km_assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a fold over the 1-row broadcast
+    centroid array — a scan-side expression, zero shuffles, ties to the
+    lower centroid id."""
     carr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cid", "cq"))).alias("cs")
     )
@@ -324,7 +338,7 @@ def kmeans_step(
             s,
         ).otherwise(acc),
     )
-    assigned = (
+    return (
         pts.crossJoin(F.broadcast(carr))
         .withColumn("b", best)
         .select(
@@ -334,6 +348,13 @@ def kmeans_step(
             F.col("b.d2").alias("d2"),
         )
     )
+
+
+def _km_aggregate(assigned: DataFrame, dim: int, quant: int) -> DataFrame:
+    """Centroid update: ONE groupBy(cluster) with per-dimension sums
+    (map-side combined), k×dim fan-out post-agg; emits the exact-integer
+    6-dp mean (``mean_e6``) — half-away-from-zero rounding in BIGINTs, so
+    no float round() semantics cross engines."""
     sums = [
         F.sum(F.element_at("q", i)).alias(f"_s{i}") for i in range(1, dim + 1)
     ]
@@ -343,10 +364,6 @@ def kmeans_step(
         *sums,
     )
     dims = F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(1, dim + 1)]))
-    # mean rounded to 6 dp in EXACT integer arithmetic (half away from zero):
-    # float round() semantics differ across engines on representational ties
-    # (shortest-repr vs exact-binary HALF_UP), so the rounding itself stays
-    # integer and only the final /1e6 is a float op — same double everywhere.
     numer = F.col("sum_q") * F.lit(1_000_000).cast("long")
     denom = F.col("n_members") * F.lit(int(quant))
     mean_e6 = F.signum(F.col("sum_q")).cast("long") * F.floor(
@@ -360,5 +377,67 @@ def kmeans_step(
         "inertia_q",
         (F.col("pos") + 1).alias("dim"),
         "sum_q",
-        (mean_e6 / F.lit(1e6)).alias("mean"),
+        mean_e6.cast("long").alias("mean_e6"),
     )
+
+
+def _km_select(agg: DataFrame) -> DataFrame:
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "inertia_q",
+        "dim",
+        "sum_q",
+        (F.col("mean_e6") / F.lit(1e6)).alias("mean"),
+    )
+
+
+def kmeans_iterate(
+    emb: DataFrame,
+    n_iters: int = 2,
+    stride: int = IVF_STRIDE,
+    dim: int = KM_DIM,
+    quant: int = KM_QUANT,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-point Lloyd's algorithm, ``n_iters`` distributed iterations —
+    the iterative form of ``kmeans_step``. Centroids between iterations are
+    the exact-integer 6-dp means (``mean_e6``), so every iteration remains
+    bit-deterministic and a SQL oracle can unroll the whole loop (q63 pins
+    two unrolled iterations); cluster labels stay the seed ids.
+
+    Per iteration: broadcast-fold assignment (zero shuffles) + one
+    groupBy(cluster) update; the inter-iteration centroid table is k×dim
+    rows, ``localCheckpoint``-ed so plan depth stays O(1) — the same
+    driver-sees-only-scalars iteration discipline as
+    ``dedup.connected_components``. A production run would stop early on an
+    inertia-delta convergence scalar; the iteration count is fixed here so
+    the unrolled oracle states the identical computation.
+
+    Clusters that lose all members in an iteration drop out (standard
+    Lloyd's on empty clusters); ``n_iters`` must be ≥ 1.
+    """
+    pts = _km_quantize(emb, quant, id_col).localCheckpoint()
+    cents = pts.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cid"), F.col("q").alias("cq")
+    )
+    agg = None
+    for t in range(n_iters):
+        agg = _km_aggregate(_km_assign(pts, cents), dim, quant)
+        if t < n_iters - 1:
+            cents = (
+                agg.groupBy("cluster_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean_e6"))
+                    ).alias("dm")
+                )
+                .select(
+                    F.col("cluster_id").alias("cid"),
+                    F.transform(F.col("dm"), lambda s: s["mean_e6"]).alias(
+                        "cq"
+                    ),
+                )
+                .localCheckpoint()
+            )
+    return _km_select(agg)

@@ -1060,3 +1060,84 @@ def q60_kmeans_step(spark, sf_dir):
 )
 def q61_bpe_pair_counts(spark, sf_dir):
     return text.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q63 — k-means, TWO distributed Lloyd iterations (fixed-point): the
+# iterative form of q60. Centroids between iterations are the exact-integer
+# 6-dp means, so the oracle UNROLLS the loop — iteration 1's m0/c1 CTEs feed
+# iteration 2 — and the whole iterative computation is value-proven, the
+# same decomposition-vs-declared-spec treatment as q54's components.
+# ---------------------------------------------------------------------------
+def _q63_sql() -> str:
+    Q = similarity.KM_QUANT
+    D = similarity.KM_DIM
+    dist = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, {D}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+    mean_e6 = (
+        "(CASE WHEN {s} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({{s}} * 1000000) + {{n}} * {Q})"
+        f" // (2 * {{n}} * {Q})))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * {Q})::BIGINT)
+               AS qv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, qv AS cq FROM q
+           WHERE vec_id % {similarity.IVF_STRIDE} = 0),
+    d0 AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             {dist.format(a="q.qv", b="c.cq")} AS d2
+      FROM q, c0 c
+    ),
+    a0 AS (
+      SELECT vec_id, qv, cid AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d0
+      ) WHERE r = 1
+    ),
+    g0 AS (
+      SELECT a.cluster_id, gs.i AS dim, count(*) AS n,
+             sum(a.qv[gs.i])::BIGINT AS s
+      FROM a0 a CROSS JOIN (SELECT unnest(generate_series(1, {D})) AS i) gs
+      GROUP BY 1, 2
+    ),
+    m0 AS (SELECT cluster_id, dim, {mean_e6.format(s="s", n="n")} AS me
+           FROM g0),
+    c1 AS (SELECT cluster_id AS cid, list(me ORDER BY dim) AS cq
+           FROM m0 GROUP BY 1),
+    d1 AS (
+      SELECT q.vec_id, q.qv, c.cid,
+             {dist.format(a="q.qv", b="c.cq")} AS d2
+      FROM q, c1 c
+    ),
+    a1 AS (
+      SELECT vec_id, qv, cluster_id, d2 FROM (
+        SELECT vec_id, qv, cid AS cluster_id, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM d1
+      ) WHERE r = 1
+    ),
+    g1 AS (
+      SELECT a.cluster_id, gs.i AS dim,
+             count(*) AS n_members,
+             sum(a.d2)::BIGINT AS inertia_q,
+             sum(a.qv[gs.i])::BIGINT AS sum_q
+      FROM a1 a CROSS JOIN (SELECT unnest(generate_series(1, {D})) AS i) gs
+      GROUP BY 1, 2
+    )
+    SELECT cluster_id, n_members, inertia_q, dim, sum_q,
+           {mean_e6.format(s="sum_q", n="n_members")} / 1e6 AS mean
+    FROM g1
+    """
+
+
+@_register("q63_kmeans_iterated", _q63_sql())
+def q63_kmeans_iterated(spark, sf_dir):
+    return similarity.kmeans_iterate(_t(spark, sf_dir, "embeddings"), n_iters=2)

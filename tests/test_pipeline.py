@@ -983,3 +983,56 @@ class TestTrainingManifest:
         assert out[21].keep_curation == 0  # exact dup loses to doc 1
         # at least one doc reaches the packed stage
         assert any(r.first_seq is not None for r in out.values())
+
+
+@pytest.mark.spark
+class TestKMeansIterated:
+    def test_three_iterations_match_numpy_fixed_point_lloyd(self, spark):
+        from stream_reader_mzxml_spark.pipeline.similarity import (
+            KM_QUANT,
+            kmeans_iterate,
+        )
+
+        rng = np.random.RandomState(63)
+        X = rng.standard_normal((50, 64)).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in range(50)],
+            ["vec_id", "embedding"],
+        )
+        stride = 17  # seeds 0, 17, 34
+        got = kmeans_iterate(emb, n_iters=3, stride=stride).collect()
+
+        def me6(s, n):  # exact-integer 6-dp mean, half away from zero
+            sign = -1 if s < 0 else 1
+            return sign * ((2 * abs(s) * 1_000_000 + n * KM_QUANT)
+                           // (2 * n * KM_QUANT))
+
+        Q = np.round(X.astype(np.float64) * KM_QUANT).astype(np.int64)
+        seeds = [i for i in range(50) if i % stride == 0]
+        cents = {s: Q[s] for s in seeds}
+        for _ in range(3):
+            cids = sorted(cents)
+            C = np.stack([cents[c] for c in cids])
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.array([cids[j] for j in d2.argmin(axis=1)])
+            inert = {c: int(d2[assign == c, cids.index(c)].sum())
+                     for c in set(assign)}
+            new = {}
+            for c in sorted(set(assign)):
+                m = assign == c
+                sums = Q[m].sum(axis=0)
+                new[c] = np.array(
+                    [me6(int(s), int(m.sum())) for s in sums], dtype=np.int64
+                )
+            counts = {c: int((assign == c).sum()) for c in set(assign)}
+            final = (assign, counts, inert, {c: Q[assign == c].sum(axis=0)
+                                             for c in set(assign)})
+            cents = new
+        assign, counts, inert, sums = final
+        assert {r.cluster_id for r in got} == set(counts)
+        for r in got:
+            assert r.n_members == counts[r.cluster_id]
+            assert r.inertia_q == inert[r.cluster_id]
+            assert r.sum_q == int(sums[r.cluster_id][r.dim - 1])
+            assert r.mean == me6(int(sums[r.cluster_id][r.dim - 1]),
+                                 counts[r.cluster_id]) / 1e6

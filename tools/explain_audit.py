@@ -32,6 +32,8 @@ ALLOWED_CARTESIAN = {
     "q49_ivf_ann_topk",  # 1-row broadcast centroid-array cross join (corpus + probes)
     "q53_source_drift",  # #sources × #buckets densify + 1-row corpus total (all tiny)
     "q56_tfidf",  # 1-row broadcast corpus doc-count cross join
+    "q60_kmeans_step",  # 1-row broadcast centroid-array cross join
+    "q63_kmeans_iterated",  # same, once per unrolled iteration
 }
 
 
