@@ -164,10 +164,32 @@ def run_streaming_suite(
     # so groups (8 shards × 32 salts = 256) spread evenly over the state
     # partitions — too few groups leaves straggler partitions at high core
     # counts (hot shard = 40 % of rows)
-    for label, builder in (
+    jobs = (
         ("windowed_agg", lambda s: salted_tumbling_token_stats(s)),
         ("stateful_join", lambda s: stateful_shard_join(s, n_salts=32)),
-    ):
+    )
+    # UNMEASURED warmup: the session's FIRST streaming query pays ~20 s of
+    # one-time cost (streaming-plan codegen, python streaming worker pool,
+    # state-store init) — measured 38 s vs 15-17 s for identical re-runs.
+    # A real cluster job is long-lived, so steady state is the honest
+    # number; run both job shapes once over a tiny table first.
+    warm_path, _ = ensure_sequences(20_000)
+    wn = len([f for f in os.listdir(warm_path) if f.endswith(".parquet")])
+    for label, builder in jobs:
+        ck = tempfile.mkdtemp(prefix=f"bench_warm_{label}_", dir="/dev/shm"
+                              if os.path.isdir("/dev/shm") else None)
+        wq = (
+            builder(read_sequences_stream(spark, warm_path,
+                                          max_files_per_trigger=wn))
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+    for label, builder in jobs:
         # tmpfs checkpoints when available: the local-disk fsync per state
         # commit is a sandbox artifact (a cluster checkpoints to HDFS/S3 with
         # very different latency), not part of the measured engine
