@@ -209,3 +209,48 @@ class TestDistributedRankProperties:
             for r in df.withColumn("rank", F.row_number().over(w)).collect()
         )
         assert got == exp
+
+
+@pytest.mark.spark
+class TestPackingProperties:
+    @_settings
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),  # doc_id (gaps, dups dropped)
+                st.integers(min_value=0, max_value=2),  # source index
+                st.integers(min_value=0, max_value=9),  # word count (incl. 0)
+            ),
+            min_size=1,
+            max_size=50,
+        ),
+        st.integers(min_value=1, max_value=12),  # budget
+    )
+    def test_distributed_prefix_sum_equals_plain_window(self, spark, rows, budget):
+        # the two-level prefix-sum decomposition must equal the plain
+        # global window cumsum for ANY input: doc_id gaps, bucket
+        # boundaries, zero-token docs, sources of wildly different size
+        from stream_reader_mzxml_spark.pipeline.mixing import sequence_packing
+
+        seen, data = set(), []
+        for i, s, n in rows:
+            if i not in seen:
+                seen.add(i)
+                data.append((i, f"s{s}", " ".join("w" for _ in range(n))))
+        df = spark.createDataFrame(data, ["doc_id", "source", "text"])
+        got = sorted(
+            (r.source, r.doc_id, r.n_tokens, r.cum_before, r.offset_in_seq,
+             r.first_seq, r.last_seq, r.n_seqs)
+            for r in sequence_packing(df, budget=budget, bucket_width=4).collect()
+        )
+        # declared spec: one plain window cumsum per source
+        cums: dict[str, int] = {}
+        exp = []
+        for i, src, txt in sorted(data):
+            n = len(txt.split(" ")) if txt else 1  # split('') -> ['']
+            n = 0 if txt == "" else n
+            c = cums.get(src, 0)
+            first, last = c // budget, (c + max(n, 1) - 1) // budget
+            exp.append((src, i, n, c, c % budget, first, last, last - first + 1))
+            cums[src] = c + n
+        assert got == sorted(exp)
