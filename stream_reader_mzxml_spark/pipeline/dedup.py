@@ -538,3 +538,72 @@ def connected_components(
     return nodes.join(sizes, "component_id").select(
         "doc_id", "component_id", "cluster_size"
     )
+
+
+def segment_dedup_apply(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = SEGMENT_WIDTH,
+) -> DataFrame:
+    """Span-level dedup APPLY — the rewrite stage after ``segment_dedup``'s
+    diagnosis (C4/RefinedWeb line-dedup analog): every non-overlapping
+    ``width``-word segment whose hash occurs in more than one distinct
+    document is removed everywhere EXCEPT the keeper doc (min doc_id
+    containing it); the trailing partial segment is always kept. Emits the
+    rewritten text's length and md5 — proof both engines rebuilt the
+    identical string — plus per-doc drop counts.
+
+    Scale shape: only (doc_id, seg_idx, seg_hash) triples ride the two
+    hash-keyed shuffles (frequency groupBy + verdict join); the per-doc
+    dropped-index ARRAY (tiny) joins back to the scan and the text is
+    rebuilt scan-side from it — the document text itself never shuffles,
+    unlike a naive rebuild that regroups segment words by doc.
+    """
+    ws = words(F.col(text_col))
+    n_seg = (F.size(ws) / width).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def seg_words(i):
+        return F.slice(ws, i * width + 1, F.lit(width))
+
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("i"), h32(F.concat_ws("|", seg_words(i))).alias("h")
+        ),
+    )
+    ex = df.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h")
+    )
+    freq = ex.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    dropped = (
+        ex.join(freq, ["h"])
+        .filter((F.col("n_docs") > 1) & (F.col("doc_id") != F.col("keeper")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("dropped"))
+    )
+    r = df.join(dropped, ["doc_id"], "left").withColumn(
+        "dropped", F.coalesce("dropped", F.array().cast("array<int>"))
+    )
+    keep_idx = F.filter(
+        idx, lambda i: ~F.array_contains(F.col("dropped"), i)
+    )
+    tail = F.slice(
+        ws, n_seg * width + 1, F.greatest(F.size(ws) - n_seg * width, F.lit(0))
+    )
+    new_ws = F.concat(
+        F.flatten(F.transform(keep_idx, seg_words)), tail
+    )
+    new_text = F.array_join(new_ws, " ")
+    return r.select(
+        "doc_id",
+        n_seg.alias("n_segments"),
+        F.size("dropped").alias("n_dropped"),
+        F.length(new_text).alias("new_len"),
+        F.md5(new_text).alias("new_md5"),
+    )

@@ -1141,3 +1141,53 @@ def _q63_sql() -> str:
 @_register("q63_kmeans_iterated", _q63_sql())
 def q63_kmeans_iterated(spark, sf_dir):
     return similarity.kmeans_iterate(_t(spark, sf_dir, "embeddings"), n_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# q64 — segment-dedup APPLY: remove cross-doc duplicated segments (keeper =
+# min doc_id), rebuild the text scan-side from the tiny dropped-index array
+# (the text never shuffles), md5-prove the rewritten string.
+# ---------------------------------------------------------------------------
+@_register(
+    "q64_segment_dedup_apply",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    seg AS (SELECT doc_id, (length(ws) // {_SEG_W})::INT AS n_seg, ws FROM w),
+    ex AS (
+      SELECT doc_id, t.i::INT AS i,
+             {_H32.format(x=f"array_to_string(ws[t.i*{_SEG_W}+1 : t.i*{_SEG_W}+{_SEG_W}], '|')")}
+               AS h
+      FROM seg, unnest(generate_series(0, n_seg - 1)) AS t(i)
+    ),
+    freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+             FROM ex GROUP BY 1),
+    drp AS (
+      SELECT ex.doc_id, list(ex.i ORDER BY ex.i) AS dropped
+      FROM ex JOIN freq USING (h)
+      WHERE n_docs > 1 AND ex.doc_id != keeper
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT s.doc_id, s.n_seg, s.ws,
+             coalesce(d.dropped, []) AS dropped
+      FROM seg s LEFT JOIN drp d USING (doc_id)
+    ),
+    nw AS (
+      SELECT doc_id, n_seg, length(dropped)::INT AS n_dropped,
+             /* coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+                array_join([]) is '' — all-dropped docs must rebuild to '' */
+             coalesce(array_to_string(
+               flatten(list_transform(
+                 list_filter(generate_series(0, n_seg - 1),
+                             i -> NOT list_contains(dropped, i::INT)),
+                 i -> ws[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}]))
+               || ws[n_seg*{_SEG_W}+1 :], ' '), '') AS new_text
+      FROM r
+    )
+    SELECT doc_id, n_seg AS n_segments, n_dropped,
+           length(new_text) AS new_len, md5(new_text) AS new_md5
+    FROM nw
+    """,
+)
+def q64_segment_dedup_apply(spark, sf_dir):
+    return dedup.segment_dedup_apply(_t(spark, sf_dir, "documents"))

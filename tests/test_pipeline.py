@@ -1036,3 +1036,40 @@ class TestKMeansIterated:
             assert r.sum_q == int(sums[r.cluster_id][r.dim - 1])
             assert r.mean == me6(int(sums[r.cluster_id][r.dim - 1]),
                                  counts[r.cluster_id]) / 1e6
+
+
+@pytest.mark.spark
+class TestSegmentDedupApply:
+    def test_rewrite_drops_cross_doc_segments_keeper_keeps(self, spark):
+        # width-4 segments; docs 0 and 1 share their first segment, doc 0
+        # (min doc_id) is the keeper; tails are always kept
+        w = 4
+        seg = "a b c d"
+        rows = [
+            (0, seg + " x y z"),          # keeper: keeps everything
+            (1, seg + " p q r s t"),      # drops seg, keeps "p q r s" + tail "t"
+            (2, "u v w only three here"), # one unique segment + tail
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in
+               dedup.segment_dedup_apply(df, width=w).collect()}
+        exp = {
+            0: seg + " x y z",
+            1: "p q r s t",
+            2: "u v w only three here",
+        }
+        assert got[0].n_dropped == 0 and got[1].n_dropped == 1
+        assert got[2].n_dropped == 0
+        for i, t in exp.items():
+            assert got[i].new_len == len(t), i
+            assert got[i].new_md5 == hashlib.md5(t.encode()).hexdigest(), i
+
+    def test_all_segments_dropped_rebuilds_empty(self, spark):
+        w = 4
+        rows = [(0, "a b c d e f g h"), (1, "a b c d e f g h")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in
+               dedup.segment_dedup_apply(df, width=w).collect()}
+        assert got[0].n_dropped == 0          # keeper
+        assert got[1].n_dropped == 2 and got[1].new_len == 0
+        assert got[1].new_md5 == hashlib.md5(b"").hexdigest()
