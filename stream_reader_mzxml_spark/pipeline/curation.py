@@ -225,3 +225,35 @@ def training_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "last_seq",
         )
     )
+
+
+def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The scan-only half of ``curate`` — quality, language and PII verdicts
+    as ONE stateless projection, with first-failing-gate attribution over
+    just those gates. This is the ingest-time pre-filter a streaming
+    pipeline runs on arrival (the aggregating gates — repetition, exact-dup
+    keeper — need corpus state and stay batch/stateful); being a pure
+    projection it runs unchanged on a streaming DataFrame, proven
+    row-for-row in ``tests/test_pipeline.py::TestCurationGatesStreaming``.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        "doc_id",
+        quality_score_col(t).alias("quality_score"),
+        pred_lang_col(t).alias("pred_lang"),
+        has_pii_col(t).alias("has_pii_surface"),
+    )
+    fail_quality = F.col("quality_score") < MIN_QUALITY
+    fail_pii = F.col("has_pii_surface") == 1
+    keep = ~(fail_quality | fail_pii)
+    reason = F.when(fail_quality, F.lit("quality")).when(
+        fail_pii, F.lit("pii")
+    )
+    return base.select(
+        "doc_id",
+        "quality_score",
+        "pred_lang",
+        "has_pii_surface",
+        keep.cast("int").alias("keep"),
+        reason.alias("drop_reason"),
+    )

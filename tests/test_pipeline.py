@@ -1073,3 +1073,40 @@ class TestSegmentDedupApply:
         assert got[0].n_dropped == 0          # keeper
         assert got[1].n_dropped == 2 and got[1].new_len == 0
         assert got[1].new_md5 == hashlib.md5(b"").hexdigest()
+
+
+@pytest.mark.spark
+class TestCurationGatesStreaming:
+    def test_gates_run_on_stream(self, spark, tmp_path):
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline.curation import curation_gates
+
+        good = "the quick brown fox jumps of the lazy dog and it runs to town"
+        rows = [(i, good + f" tail{i}") for i in range(30)]
+        rows += [(30, "too few"), (31, good + " mail a@b.org")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        src = str(tmp_path / "gates_stream")
+        df.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"gates_{uuid.uuid4().hex[:8]}"
+        q = (
+            curation_gates(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, curation_gates(df).collect()))
+        assert got == exp
+        by_id = {r[0]: r for r in got}
+        assert by_id[30][4] == 0 and by_id[30][5] == "quality"
+        assert by_id[31][4] == 0 and by_id[31][5] == "pii"
+        assert by_id[0][4] == 1
