@@ -164,3 +164,35 @@ def sequence_packing(
         last_seq.cast("long").alias("last_seq"),
         (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
     )
+
+
+EPOCH = 1  # default epoch for the registered query
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int = EPOCH,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-epoch training order: a deterministic global permutation of the
+    corpus, re-drawn each epoch — the shuffling step between a packed
+    corpus and the trainer's reader. Priority = ``h32(doc_id ':' epoch)``
+    (uniform, seeded by the epoch, reproducible in SQL); the global
+    position is computed with ``operators.aggregates.distributed_rank``
+    (order-aligned bucket = priority >> 20), so no task ever windows the
+    whole corpus — the same two-level shape that replaced q45's global
+    rank, here oracle-proven directly.
+    """
+    from stream_reader_mzxml_spark.operators.aggregates import distributed_rank
+    from stream_reader_mzxml_spark.pipeline.text import h32
+
+    prio = h32(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    )
+    base = df.select(id_col, prio.alias("priority"))
+    return distributed_rank(
+        base,
+        order=[F.asc("priority"), F.asc(id_col)],
+        bucket=F.shiftright(F.col("priority"), 20),
+        rank_col="position",
+    ).select(id_col, F.lit(int(epoch)).alias("epoch"), "priority", "position")

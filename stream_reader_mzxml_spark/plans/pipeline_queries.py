@@ -1191,3 +1191,27 @@ def q63_kmeans_iterated(spark, sf_dir):
 )
 def q64_segment_dedup_apply(spark, sf_dir):
     return dedup.segment_dedup_apply(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q65 — per-epoch training order: deterministic global permutation, ranked
+# with the two-level distributed_rank (bucket = priority >> 20, order-
+# aligned). The oracle states the spec as ONE plain global row_number, so
+# the no-single-task-window decomposition is value-proven here directly
+# (q45 uses the same operator inside a larger program).
+# ---------------------------------------------------------------------------
+@_register(
+    "q65_epoch_order",
+    f"""
+    SELECT doc_id, {mixing.EPOCH} AS epoch, priority,
+           (row_number() OVER (ORDER BY priority, doc_id))::INT AS position
+    FROM (
+      SELECT doc_id,
+             {_H32.format(x=f"doc_id::VARCHAR || ':' || '{mixing.EPOCH}'")}
+               AS priority
+      FROM documents
+    )
+    """,
+)
+def q65_epoch_order(spark, sf_dir):
+    return mixing.epoch_order(_t(spark, sf_dir, "documents"))
