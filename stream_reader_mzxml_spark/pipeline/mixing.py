@@ -196,3 +196,45 @@ def epoch_order(
         bucket=F.shiftright(F.col("priority"), 20),
         rank_col="position",
     ).select(id_col, F.lit(int(epoch)).alias("epoch"), "priority", "position")
+
+
+def sequence_manifest(
+    df: DataFrame,
+    budget: int = PACK_LEN,
+    bucket_width: int = PACK_BUCKET,
+    text_col: str = "text",
+    key_col: str = "source",
+) -> DataFrame:
+    """The trainer-facing view of ``sequence_packing``: one row per packed
+    training sequence, with how many documents feed it, how many of its
+    ``budget`` token slots are filled, and the doc_id span it covers — the
+    manifest a data loader reads to locate every sequence's constituents.
+
+    Derived from the packing offsets with pure integer arithmetic: a doc
+    contributes ``min(end, (s+1)·B) − max(start, s·B)`` tokens to sequence
+    ``s`` for every s it spans — exploded scan-side from (first_seq,
+    last_seq), then ONE groupBy((source, seq_id)) with min/max/count/sum.
+    Zero-token docs contribute nothing and are excluded from the manifest.
+    """
+    packed = sequence_packing(df, budget, bucket_width, text_col, key_col)
+    start = F.col("cum_before")
+    end = start + F.col("n_tokens")
+    s = F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias(
+        "seq_id"
+    )
+    ex = packed.filter(F.col("n_tokens") > 0).select(
+        key_col, "doc_id", "cum_before", "n_tokens", s
+    )
+    contrib = F.least(end, (F.col("seq_id") + 1) * budget) - F.greatest(
+        start, F.col("seq_id") * budget
+    )
+    return (
+        ex.withColumn("contrib", contrib)
+        .groupBy(key_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("contrib").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

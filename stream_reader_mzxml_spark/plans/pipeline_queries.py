@@ -1215,3 +1215,46 @@ def q64_segment_dedup_apply(spark, sf_dir):
 )
 def q65_epoch_order(spark, sf_dir):
     return mixing.epoch_order(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q66 — sequence manifest: the per-sequence (trainer-facing) view of q58's
+# packing — docs per sequence, filled token slots, doc_id span. Scan-side
+# span explode + ONE groupBy((source, seq_id)); all integer arithmetic.
+# ---------------------------------------------------------------------------
+@_register(
+    "q66_sequence_manifest",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_WS_TOKS} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM toks
+    ),
+    spans AS (
+      SELECT source, doc_id, n_tokens, cum_before,
+             cum_before // {mixing.PACK_LEN} AS first_seq,
+             (cum_before + n_tokens - 1) // {mixing.PACK_LEN} AS last_seq
+      FROM c WHERE n_tokens > 0
+    ),
+    ex AS (
+      SELECT source, doc_id, cum_before, n_tokens, t.s AS seq_id
+      FROM spans, unnest(generate_series(first_seq, last_seq)) AS t(s)
+    )
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           sum(least(cum_before + n_tokens, (seq_id + 1) * {mixing.PACK_LEN})
+               - greatest(cum_before, seq_id * {mixing.PACK_LEN}))::BIGINT
+             AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q66_sequence_manifest(spark, sf_dir):
+    return mixing.sequence_manifest(_t(spark, sf_dir, "documents"))

@@ -1110,3 +1110,34 @@ class TestCurationGatesStreaming:
         assert by_id[30][4] == 0 and by_id[30][5] == "quality"
         assert by_id[31][4] == 0 and by_id[31][5] == "pii"
         assert by_id[0][4] == 1
+
+
+@pytest.mark.spark
+class TestSequenceManifest:
+    def test_slots_conserve_tokens_and_fill_budget(self, spark):
+        from stream_reader_mzxml_spark.pipeline import mixing
+
+        rows = []
+        for i in range(30):
+            n = (i % 7) + 1  # 1..7 words
+            rows.append((i, "s" + str(i % 2), " ".join("w" * 1 for _ in range(n))))
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        budget = 10
+        man = {(r.source, r.seq_id): r for r in
+               mixing.sequence_manifest(df, budget=budget, bucket_width=4)
+               .collect()}
+        # conservation: manifest token slots == corpus tokens per source
+        per_src = {}
+        for i, s, t in rows:
+            per_src[s] = per_src.get(s, 0) + len(t.split(" "))
+        for s, total in per_src.items():
+            seqs = sorted(k[1] for k in man if k[0] == s)
+            assert seqs == list(range(len(seqs)))  # contiguous from 0
+            assert sum(man[(s, q)].n_tokens for q in seqs) == total
+            # every sequence but the last is exactly full
+            for q in seqs[:-1]:
+                assert man[(s, q)].n_tokens == budget
+            # doc spans are monotone: a later sequence never starts before
+            # the previous one's last contributing doc
+            for q in seqs[:-1]:
+                assert man[(s, q + 1)].first_doc >= man[(s, q)].last_doc
