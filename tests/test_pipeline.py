@@ -1141,3 +1141,59 @@ class TestSequenceManifest:
             # the previous one's last contributing doc
             for q in seqs[:-1]:
                 assert man[(s, q + 1)].first_doc >= man[(s, q)].last_doc
+
+
+@pytest.mark.spark
+class TestCorpusWriter:
+    def test_partitioned_roundtrip_and_file_caps(self, spark, tmp_path):
+        import os
+
+        from stream_reader_mzxml_spark.sources.sinks import write_corpus
+
+        rows = [(i, f"s{i % 3}", f"doc number {i}") for i in range(90)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        path = str(tmp_path / "corpus")
+        write_corpus(df, path, max_records_per_file=10)
+        # directory partitions per source
+        parts = sorted(
+            d for d in os.listdir(path) if d.startswith("source=")
+        )
+        assert parts == ["source=s0", "source=s1", "source=s2"]
+        # file cap honored: 30 rows per source / 10 per file -> >= 3 files
+        files = [
+            f for f in os.listdir(os.path.join(path, "source=s0"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) >= 3
+        back = spark.read.parquet(path)
+        assert sorted(map(tuple, back.select("doc_id", "source", "text")
+                          .collect())) == sorted(rows)
+
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        import uuid
+
+        from stream_reader_mzxml_spark.sources.sinks import (
+            write_corpus_bucketed,
+        )
+
+        rows = [(i, f"doc {i}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        t1, t2 = (f"bt_{uuid.uuid4().hex[:8]}" for _ in range(2))
+        write_corpus_bucketed(df, t1, str(tmp_path / "b1"), n_buckets=4)
+        write_corpus_bucketed(df, t2, str(tmp_path / "b2"), n_buckets=4)
+        # force the sort-merge path: tiny test tables would otherwise be
+        # broadcast, which bypasses (and so can't demonstrate) bucketing
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(t1).join(spark.table(t2), "doc_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # bucketing metadata elides the shuffle: no hash-partitioning
+            # exchange on either side of the join
+            assert "Exchange hashpartitioning" not in plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == 200
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE {t1}")
+            spark.sql(f"DROP TABLE {t2}")
