@@ -78,8 +78,15 @@ def mixture_sample(
         key_col,
         "n_tokens",
         F.col("src_tokens").cast("long").alias("src_tokens"),
+        # greatest(...,1): a source of only zero-token docs has src_tokens=0
+        # — rate 1.0 (nothing to budget), not a division error (ANSI) or
+        # inf (DuckDB); the integer sampled-test below needs no guard
         F.round(
-            F.least(F.lit(1.0), F.lit(float(target_tokens)) / F.col("src_tokens")),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_tokens))
+                / F.greatest(F.col("src_tokens"), F.lit(1)),
+            ),
             6,
         ).alias("keep_rate"),
         sampled.cast("int").alias("sampled"),

@@ -909,7 +909,7 @@ _WS_TOKS = "length(regexp_extract_all(text, '\\S+'))"
     tot AS (SELECT source, sum(n_tokens)::BIGINT AS src_tokens
             FROM toks GROUP BY 1)
     SELECT t.doc_id, t.source, t.n_tokens, tot.src_tokens,
-           round(least(1.0, {mixing.MIX_TARGET_TOKENS}.0 / tot.src_tokens), 6)
+           round(least(1.0, {mixing.MIX_TARGET_TOKENS}.0 / greatest(tot.src_tokens, 1)), 6)
              AS keep_rate,
            CASE WHEN ({_H32.format(x="t.doc_id::VARCHAR")} % {mixing.MIX_RES})
                      * tot.src_tokens

@@ -254,3 +254,47 @@ class TestPackingProperties:
             exp.append((src, i, n, c, c % budget, first, last, last - first + 1))
             cums[src] = c + n
         assert got == sorted(exp)
+
+
+@pytest.mark.spark
+class TestMixtureProperties:
+    @_settings
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=300),  # doc_id
+                st.integers(min_value=0, max_value=2),  # source idx
+                st.integers(min_value=0, max_value=8),  # words
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=60),  # target tokens
+    )
+    def test_exact_integer_keep_test_any_corpus(self, spark, rows, target):
+        # the sampling verdict must replicate the exact integer test for ANY
+        # corpus and budget — including all-keep, all-drop, empty docs
+        import hashlib
+
+        from stream_reader_mzxml_spark.pipeline.mixing import mixture_sample
+
+        seen, data = set(), []
+        for i, s, n in rows:
+            if i not in seen:
+                seen.add(i)
+                data.append((i, f"s{s}", " ".join("w" for _ in range(n))))
+        df = spark.createDataFrame(data, ["doc_id", "source", "text"])
+        got = {r.doc_id: r for r in
+               mixture_sample(df, target_tokens=target).collect()}
+        totals: dict[str, int] = {}
+        toks = {}
+        for i, s, t in data:
+            n = 0 if t == "" else len(t.split(" "))
+            toks[i] = (s, n)
+            totals[s] = totals.get(s, 0) + n
+        for i, (s, n) in toks.items():
+            r = got[i]
+            assert r.n_tokens == n and r.src_tokens == totals[s]
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            expect = int((h % 1_000_000) * totals[s] < target * 1_000_000)
+            assert r.sampled == expect, (i, s)
