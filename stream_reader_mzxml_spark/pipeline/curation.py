@@ -99,9 +99,15 @@ def domain_caps(
     (per-source quotas keep one mega-crawl host from dominating the mixture).
 
     Selection within a source is by portable pseudo-random priority
-    ``h32(doc_id)`` (uniform, deterministic, reproducible in the oracle) with
-    ``doc_id`` as tie-break — i.e. a seeded uniform sample of ``cap`` docs
-    per source, not "first cap by id" (which would bias toward crawl order).
+    ``h32('cap:' || doc_id)`` (uniform, deterministic, reproducible in the
+    oracle) with ``doc_id`` as tie-break — i.e. a seeded uniform sample of
+    ``cap`` docs per source, not "first cap by id" (which would bias toward
+    crawl order). The ``cap:`` salt makes this draw independent of
+    ``mixing.mixture_sample``'s unsalted ``h32(doc_id)`` draw — unsalted,
+    the two "independent" samples are perfectly correlated (cap survivors
+    are exactly the low-hash docs mixture then preferentially keeps, so a
+    composed pipeline's effective rate is min, not product). Same salting
+    discipline as ``mixing.epoch_order``'s per-epoch salt.
 
     Scale shape: a source is exactly the Zipf-hot axis (one domain can be
     10^9 docs), so ranking uses the salted two-phase top-K — a hot source
@@ -112,7 +118,11 @@ def domain_caps(
     from stream_reader_mzxml_spark.pipeline.text import h32
 
     prio = df.select(
-        "doc_id", key_col, h32(F.col("doc_id").cast("string")).alias("priority")
+        "doc_id",
+        key_col,
+        h32(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias(
+            "priority"
+        ),
     )
     return salted_top_k(
         prio,

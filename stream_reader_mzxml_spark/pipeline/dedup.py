@@ -459,7 +459,7 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
-    max_iter: int = 25,
+    max_iter: int = 60,
 ) -> DataFrame:
     """Near-dup clusters: connected components of the candidate-pair graph.
 
@@ -511,6 +511,7 @@ def connected_components(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         edges = _star(edges, large=True)
         edges = _star(edges, large=False).localCheckpoint()
@@ -525,8 +526,18 @@ def connected_components(
         ).first()
         sig = (row["n"], row["sig"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # A non-star edge set here would make dedup_apply keep/drop the
+        # WRONG docs downstream — fail loudly rather than return it.
+        # max_iter=60 sits above the ~40-round O(log n) w.h.p. worst case
+        # the docstring estimates for 10^12 docs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter"
+        )
 
     # post-convergence the edge set is a star forest: v IS the component root
     members = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))

@@ -58,6 +58,15 @@ def mixture_sample(
     BIGINT on both engines, so there is no float boundary for the oracle to
     disagree on.  ``keep_rate`` is emitted (rounded) for reporting only.
 
+    The Spark side evaluates the product-free rearrangement
+    ``prio < ceil(target*RES / src_tokens)`` (exact BIGINT ``div``; for
+    non-negative integers ``a*b < c  <=>  a < (c + b - 1) div b``), because
+    the literal product ``prio * src_tokens`` multiplies a value up to 1e6
+    by the per-source token total and would silently wrap int64 (ANSI off)
+    for any source above ~9.2e12 tokens — exactly the 100-TB regime.  The
+    oracle keeps the plain-product spec form: at oracle scale both are
+    value-identical, and DuckDB would error (not wrap) on true overflow.
+
     Scale shape: per-doc token counts live in the scan project; the
     per-source totals are a ~#sources-row aggregate broadcast back onto the
     scan.  One tiny shuffle; the documents table itself never re-shuffles.
@@ -70,8 +79,14 @@ def mixture_sample(
     )
     prio = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(MIX_RES))
     out = toks.join(F.broadcast(totals), [key_col])
-    sampled = (prio * F.col("src_tokens")) < (
-        F.lit(int(target_tokens)) * F.lit(MIX_RES)
+    # product-free keep test (see docstring): src_tokens == 0 means the
+    # product form is 0 < T*RES, i.e. always keep
+    budget = int(target_tokens) * MIX_RES
+    sampled = (F.col("src_tokens") == 0) | (
+        prio
+        < F.expr(
+            f"(CAST({budget} AS BIGINT) + src_tokens - 1L) div src_tokens"
+        )
     )
     return out.select(
         "doc_id",

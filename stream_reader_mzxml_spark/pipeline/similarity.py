@@ -364,10 +364,15 @@ def _km_aggregate(assigned: DataFrame, dim: int, quant: int) -> DataFrame:
         *sums,
     )
     dims = F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(1, dim + 1)]))
-    numer = F.col("sum_q") * F.lit(1_000_000).cast("long")
-    denom = F.col("n_members") * F.lit(int(quant))
-    mean_e6 = F.signum(F.col("sum_q")).cast("long") * F.floor(
-        (2 * F.abs(numer) + denom) / (2 * denom)
+    # Half-away-from-zero rounding entirely in BIGINT: SQL `div` is exact
+    # integer division, unlike `/` which is a Divide(double) on long/long and
+    # loses bits past 2^53 (~9e3 members/cluster at unit-scale embeddings).
+    # The numerator 2*|sum_q|*1e6 + denom is always >= 0 and denom > 0, so
+    # trunc-toward-zero (`div`) equals floor and matches DuckDB's `//`.
+    mean_e6 = F.expr(
+        "IF(sum_q < 0, -1L, 1L) * "
+        "((2L * abs(sum_q) * 1000000L + n_members * CAST({q} AS BIGINT)) "
+        "div (2L * n_members * CAST({q} AS BIGINT)))".format(q=int(quant))
     )
     return agg.select(
         "cluster_id", "n_members", "inertia_q", dims.alias("pos", "sum_q")

@@ -656,10 +656,11 @@ def q49_ivf_ann_topk(spark, sf_dir):
     f"""
     SELECT source, doc_id, priority, rank FROM (
       SELECT source, doc_id,
-             {_H32.format(x="doc_id::VARCHAR")} AS priority,
+             {_H32.format(x="'cap:' || doc_id::VARCHAR")} AS priority,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY {_H32.format(x="doc_id::VARCHAR")}, doc_id) AS rank
+               ORDER BY {_H32.format(x="'cap:' || doc_id::VARCHAR")}, doc_id
+             ) AS rank
       FROM documents
     ) WHERE rank <= {10}
     """,

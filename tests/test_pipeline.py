@@ -549,7 +549,7 @@ class TestDomainCaps:
             assert len(rs) <= 5
             expect = sorted(
                 (i for i, s in rows if s == src),
-                key=lambda i: (h32_py(str(i)), i),
+                key=lambda i: (h32_py("cap:" + str(i)), i),
             )[:5]
             assert [r.doc_id for r in sorted(rs, key=lambda r: r.rank)] == expect
 
