@@ -50,7 +50,7 @@ HEADLINE = [
     "q16_salted_count",
     "q26_minhash_lsh",
     "q29_cosine_topk",
-    "q35_candidate_ions",
+    # q35 retired from the battery in r4 (its fused twin q39 stays below)
     "q36_salted_topk",
     "q39_candidate_ions_fused",
     # corpus-pipeline heavies (round 3): curation composite, line-level

@@ -34,15 +34,13 @@ from stream_reader_mzxml_spark.functions.scalars import ppm_ok
 PREC_DIM = 8  # max precursor entries per record
 
 
-def with_precursors(
-    emb: DataFrame, base_value: float = 500.0, id_col: str = "vec_id"
-) -> DataFrame:
-    """Derive ``precursors: array<struct<value,intensity,scan_num>>``.
-
-    Entry count = ``vec_id % 9`` (0..8; empty lists exercise the nonEmpty →
-    None branch). intensity = ``(scan_num * 37) % 1000`` as double, NULL when
-    ``scan_num % 19 == 0`` (the Option[Double] analog) — pure arithmetic so
-    the DuckDB oracle reproduces it bit-for-bit."""
+def precursors_expr(
+    base_value: float = 500.0, id_col: str = "vec_id"
+) -> Column:
+    """The ``precursors`` derivation as a bare Column expression, so programs
+    that need precursors AND peaks from the same source row (q68) can attach
+    it row-locally instead of self-joining ``with_precursors``' projection
+    back onto the spectrum model."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     n = F.pmod(F.col(id_col), F.lit(PREC_DIM + 1)).cast("int")
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
@@ -66,7 +64,22 @@ def with_precursors(
             scan_num(i).alias("scan_num"),
         ),
     )
-    return emb.select(F.col(id_col), precs.alias("precursors"))
+    return precs
+
+
+def with_precursors(
+    emb: DataFrame, base_value: float = 500.0, id_col: str = "vec_id"
+) -> DataFrame:
+    """Derive ``precursors: array<struct<value,intensity,scan_num>>``.
+
+    Entry count = ``vec_id % 9`` (0..8; empty lists exercise the nonEmpty →
+    None branch). intensity = ``(scan_num * 37) % 1000`` as double, NULL when
+    ``scan_num % 19 == 0`` (the Option[Double] analog) — pure arithmetic so
+    the DuckDB oracle reproduces it bit-for-bit."""
+    return emb.select(
+        F.col(id_col),
+        precursors_expr(base_value, id_col).alias("precursors"),
+    )
 
 
 def precursor_request_gate(

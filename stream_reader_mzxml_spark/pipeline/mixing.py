@@ -47,6 +47,7 @@ def mixture_sample(
     target_tokens: int = MIX_TARGET_TOKENS,
     text_col: str = "text",
     key_col: str = "source",
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic per-source mixture sampling: each source is kept with
     rate ``min(1, target_tokens / source_tokens)`` so every domain
@@ -70,13 +71,20 @@ def mixture_sample(
     Scale shape: per-doc token counts live in the scan project; the
     per-source totals are a ~#sources-row aggregate broadcast back onto the
     scan.  One tiny shuffle; the documents table itself never re-shuffles.
+
+    ``totals``: pass a precomputed ``(key_col, src_tokens)`` batch DataFrame
+    to skip the in-plan aggregate — this is the STREAMING form: with totals
+    decided ahead of time (how mixture rates are set in practice), the keep
+    test is a pure stream-static broadcast join + scan projection, append-
+    mode safe. Left as None, totals are computed from ``df`` itself (batch).
     """
     toks = df.select(
         "doc_id", key_col, _ws_tokens(text_col).alias("n_tokens")
     )
-    totals = toks.groupBy(key_col).agg(
-        F.sum("n_tokens").alias("src_tokens")
-    )
+    if totals is None:
+        totals = toks.groupBy(key_col).agg(
+            F.sum("n_tokens").alias("src_tokens")
+        )
     prio = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(MIX_RES))
     out = toks.join(F.broadcast(totals), [key_col])
     # product-free keep test (see docstring): src_tokens == 0 means the

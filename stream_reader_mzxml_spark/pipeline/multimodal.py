@@ -173,3 +173,42 @@ def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- PNM fixture generator (q31b): real-codec output, SQL-predictable -----
+PNM_FIX_W, PNM_FIX_H = 16, 8  # 3-channel P6 → 384 samples/payload
+PNM_FIX_N = 64                # fixture rows (doc_id < N)
+
+
+def pnm_fixture_media(df: DataFrame, n: int = PNM_FIX_N) -> DataFrame:
+    """Deterministic binary P6 (PPM) payloads whose pixels are the pure
+    arithmetic function ``(doc_id*31 + s*7) % 256`` of the flat sample index
+    ``s`` — so the REAL ``decode_pnm`` path's per-channel means are exactly
+    predictable by a SQL oracle (q31b) with no image library on either side.
+
+    Construction runs in ``mapInPandas`` (payload bytes never touch the
+    driver), the same Arrow-batched plumbing the real ingest would use; only
+    ``doc_id`` rides in from the scan."""
+    ids = df.select("doc_id").filter(F.col("doc_id") < n)
+    w, h = PNM_FIX_W, PNM_FIX_H
+    header = f"P6\n{w} {h}\n255\n".encode()
+    s = np.arange(w * h * 3, dtype=np.int64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                header
+                + ((int(d) * 31 + s * 7) % 256).astype(np.uint8).tobytes()
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image/ppm"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        build, "doc_id long, media_type string, payload binary"
+    )

@@ -473,6 +473,59 @@ def q31_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q31b — the REAL PNM codec, driver-green: deterministic binary P6 payloads
+# (pixel s of doc d = (d*31 + s*7) % 256, built executor-side in
+# mapInPandas) flow through featurize(decode_stub=False) → decode_pnm — and
+# the oracle predicts the decoded per-channel means ANALYTICALLY (channel =
+# s % 3), with no image library on either engine. Mirrors q31's conventions:
+# feature rendered as a ';'-joined %.6f string (array<double> cells don't
+# hash), Python round() ↔ round_even (means are k/128 — exact .5 ties at
+# the 7th decimal).
+# ---------------------------------------------------------------------------
+_Q31B_HDR_LEN = len(
+    "P6\n{} {}\n255\n".format(multimodal.PNM_FIX_W, multimodal.PNM_FIX_H)
+)
+
+
+@_register(
+    "q31b_pnm_codec",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {multimodal.PNM_FIX_N}
+    ),
+    sam AS (
+      SELECT i.doc_id, u.s, (i.doc_id * 31 + u.s * 7) % 256 AS v
+      FROM ids i CROSS JOIN (
+        SELECT unnest(generate_series(
+          0, {multimodal.PNM_FIX_W * multimodal.PNM_FIX_H * 3 - 1})) AS s
+      ) u
+    ),
+    ch AS (
+      SELECT doc_id, s % 3 AS c, round_even(avg(v), 6) AS m
+      FROM sam GROUP BY doc_id, s % 3
+    )
+    SELECT doc_id, 'image/ppm' AS media_type,
+           {_Q31B_HDR_LEN + multimodal.PNM_FIX_W * multimodal.PNM_FIX_H * 3}
+             AS n_bytes,
+           string_agg(printf('%.6f', m), ';' ORDER BY c) || ';0.000000'
+             AS feature_str
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q31b_pnm_codec(spark, sf_dir):
+    media = multimodal.pnm_fixture_media(_t(spark, sf_dir, "documents"))
+    feat = multimodal.featurize(media, decode_stub=False)
+    return feat.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
+        ).alias("feature_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q32 — isotope-pattern neighbor match (the MainGlucosinolates.scala:163-191
 # processSpectrum kernel re-expressed): per record, count elements that have
 # a +delta neighbor within tol whose value ratio falls in an abundance band.

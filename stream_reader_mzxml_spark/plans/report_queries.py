@@ -620,3 +620,326 @@ def q47_gluco_delta_stats(spark, sf_dir):
         ).alias("std02"),
         "n_selected",
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — Main.scala's matchIsotopeGlucosinolate, the reference's root `Main`
+# executable, composed end-to-end (Main.scala:21-80) over the shared
+# embeddings-derived spectrum model (pipeline/candidate.py):
+#
+#   rt range gate (:33-35)              → relational filter on spectra
+#   per-peak isotope probes (:39-41)    → findClosestValueMz(mz0+1.0) and
+#                                         findClosestValueMz(mz0+1.996) as
+#                                         ordered minBy folds (q45's kernel)
+#   COMBINED C+S band on M+1 (:44-56)   → int1 within
+#       int0·(abC1·cMin + abS1·sMin) .. int0·(abC1·cMax + abS1·sMax)
+#     — this is what distinguishes Main.scala from MainGlucosinolates (q45),
+#     which gates M+1 on carbon alone; Main.scala folds the S(1) abundance
+#     into both M+1 bounds (ChemicalConst.scala:13-16)
+#   S-band on M+2 (:58-66)              → int2 within int0·abS2·[sMin, sMax)
+#   NO minIntensity floor and NO Δ-precision gate — Main.scala has neither
+#     (q45 has both); every peak is probed
+#   tuple render (:68-73)               → the Scala `toString` line
+#     "(rt,((mz0,int0),(mz1,int1),(mz2,int2)))", emitted with explicit %.6f /
+#     %.1f formatting (documented deviation: Scala Double.toString shortest-
+#     repr is not portable across engines)
+#
+# Stream order (num, pos) is the row identity — Main.scala never sorts.
+# Fused shape: one stateless scan-project (zero shuffles, streaming-safe).
+# ---------------------------------------------------------------------------
+_Q67_RT_LO, _Q67_RT_HI = 150.0, 3300.0  # startTime/endTime (ref: 0/100000)
+_Q67_DELTA = 1.996                      # deltaMp0Mp2 (Main.scala:22)
+_Q67_C_MIN, _Q67_C_MAX = 3, 35          # numberCarbonMin/Max (:23-24)
+_Q67_S_MIN, _Q67_S_MAX = 1.5, 5.0       # numberSulfurMin/Max (:25-26)
+# abundanceIsotope("C")(1), ("S")(1), ("S")(2) — ChemicalConst.scala:13,16
+_Q67_AB_C1 = ABUNDANCE_ISOTOPE["C"][1]
+_Q67_AB_S1 = ABUNDANCE_ISOTOPE["S"][1]
+_Q67_AB_S2 = ABUNDANCE_ISOTOPE["S"][2]
+_Q67_M1_LO = _Q67_AB_C1 * _Q67_C_MIN + _Q67_AB_S1 * _Q67_S_MIN
+_Q67_M1_HI = _Q67_AB_C1 * _Q67_C_MAX + _Q67_AB_S1 * _Q67_S_MAX
+_Q67_M2_LO = _Q67_AB_S2 * _Q67_S_MIN
+_Q67_M2_HI = _Q67_AB_S2 * _Q67_S_MAX
+
+
+def _q67_sql() -> str:
+    c = candidate
+    near = (
+        "list_reduce(peaks, (acc, p) -> CASE WHEN abs(p.mz - ({d})) < "
+        "abs(acc.mz - ({d})) THEN p ELSE acc END)"
+    )
+    return f"""
+    WITH sp AS (
+      SELECT vec_id,
+             ((vec_id * 7) % 3600)::DOUBLE AS rt,
+             list_transform(generate_series(1, {c.PEAK_DIM}), i ->
+               {{'mz': 100.0 + embedding[i]::DOUBLE * 10,
+                 'intensity': (((vec_id * {c.PEAK_DIM} + i - 1) * 37) % 1000)::DOUBLE}}
+             ) AS peaks
+      FROM embeddings
+    ),
+    gated AS (
+      SELECT * FROM sp WHERE rt >= {_Q67_RT_LO} AND rt <= {_Q67_RT_HI}
+    ),
+    pk AS (
+      SELECT vec_id, rt, peaks, g.i AS pos,
+             peaks[g.i].mz AS mz0, peaks[g.i].intensity AS int0
+      FROM gated, (SELECT unnest(generate_series(1, {c.PEAK_DIM})) AS i) g
+    ),
+    iso AS (
+      SELECT vec_id, rt, pos, mz0, int0,
+             {near.format(d="mz0 + 1.0")} AS near1,
+             {near.format(d=f"mz0 + {_Q67_DELTA}")} AS near2
+      FROM pk
+    ),
+    flt AS (
+      SELECT vec_id, rt, pos, mz0, int0,
+             near1.mz AS mz1, near1.intensity AS int1,
+             near2.mz AS mz2, near2.intensity AS int2
+      FROM iso
+      WHERE near1.intensity >= int0 * {_Q67_M1_LO}
+        AND near1.intensity <  int0 * {_Q67_M1_HI}
+        AND near2.intensity >= int0 * {_Q67_M2_LO}
+        AND near2.intensity <  int0 * {_Q67_M2_HI}
+    )
+    SELECT vec_id AS num, pos, rt::BIGINT AS rt,
+           round(mz0, 6) AS mz0, int0,
+           round(mz1, 6) AS mz1, int1,
+           round(mz2, 6) AS mz2, int2,
+           printf('(%d,((%.6f,%.1f),(%.6f,%.1f),(%.6f,%.1f)))',
+                  rt::BIGINT, round(mz0, 6), int0, round(mz1, 6), int1,
+                  round(mz2, 6), int2) AS line
+    FROM flt
+    """
+
+
+@_register("q67_isotope_envelope", _q67_sql())
+def q67_isotope_envelope(spark, sf_dir):
+    c = candidate
+    sp = c.spectra_from_embeddings(_t(spark, sf_dir, "embeddings")).filter(
+        (F.col("rt") >= _Q67_RT_LO) & (F.col("rt") <= _Q67_RT_HI)
+    )
+
+    def nearest(d):
+        return F.aggregate(
+            F.col("peaks"),
+            F.element_at(F.col("peaks"), 1),
+            lambda acc, p: F.when(
+                F.abs(p["mz"] - d) < F.abs(acc["mz"] - d), p
+            ).otherwise(acc),
+        )
+
+    idx = F.sequence(F.lit(1), F.lit(c.PEAK_DIM))
+    # every peak — Main.scala probes the full peak list (no noise floor)
+    probed = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(F.col("peaks"), i.cast("int")).alias("peak"),
+            nearest(
+                F.element_at(F.col("peaks"), i.cast("int"))["mz"] + F.lit(1.0)
+            ).alias("near1"),
+            nearest(
+                F.element_at(F.col("peaks"), i.cast("int"))["mz"]
+                + F.lit(_Q67_DELTA)
+            ).alias("near2"),
+        ),
+    )
+
+    def passes(x):
+        int0 = x["peak"]["intensity"]
+        return (
+            (x["near1"]["intensity"] >= int0 * _Q67_M1_LO)
+            & (x["near1"]["intensity"] < int0 * _Q67_M1_HI)
+            & (x["near2"]["intensity"] >= int0 * _Q67_M2_LO)
+            & (x["near2"]["intensity"] < int0 * _Q67_M2_HI)
+        )
+
+    mz0 = F.round("mz0_raw", 6)
+    mz1 = F.round("mz1_raw", 6)
+    mz2 = F.round("mz2_raw", 6)
+    return (
+        sp.select(
+            "vec_id",
+            F.col("rt").cast("long").alias("rt"),
+            F.explode(F.filter(probed, passes)).alias("x"),
+        )
+        .select(
+            F.col("vec_id").alias("num"),
+            "rt",
+            F.col("x.pos").alias("pos"),
+            F.col("x.peak.mz").alias("mz0_raw"),
+            F.col("x.peak.intensity").alias("int0"),
+            F.col("x.near1.mz").alias("mz1_raw"),
+            F.col("x.near1.intensity").alias("int1"),
+            F.col("x.near2.mz").alias("mz2_raw"),
+            F.col("x.near2.intensity").alias("int2"),
+        )
+        .select(
+            "num",
+            "pos",
+            "rt",
+            mz0.alias("mz0"),
+            "int0",
+            mz1.alias("mz1"),
+            "int1",
+            mz2.alias("mz2"),
+            "int2",
+            F.format_string(
+                "(%d,((%.6f,%.1f),(%.6f,%.1f),(%.6f,%.1f)))",
+                F.col("rt"), mz0, F.col("int0"), mz1, F.col("int1"), mz2,
+                F.col("int2"),
+            ).alias("line"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — diagnosticIon.sc's two-part report composed end-to-end
+# (diagnosticIon.sc:26-50 over libCandidateIons.fillMS2FragmentIon, :256-281):
+#
+#   fillMS2FragmentIon (:263-280)       → per MS2 spectrum, one Ion per
+#     precursor entry whose value matches a user ion of interest within ppm
+#     (precisionTest :9-10: |y − value|/y · 1e6 ≤ ppm over the LIST ion y);
+#     the Ion carries m0 = value, rt, and fragments = the FULL peak list
+#   header "ions      :N" (:35)         → section='header' row, cnt = #ions
+#   per-ion group (:37-41)              → group by m0, emit the rt list in
+#     stream order (num, scan_num) space-joined — section='ion' rows
+#   fragment histogram (:44-50)         → flatMap fragments → group by mz →
+#     count — section='fragment' rows
+#
+# Reference quirks reproduced AND documented (SURVEY §7 policy):
+#   1. both "quantizations" — (m0·10000)/10000.0 (:37) and (mz·10)/10.0
+#      (:46) — are Double-arithmetic IDENTITY no-ops (the intended trunc
+#      never happens), so grouping is by EXACT m0 / fragment mz; we group
+#      exactly too (round(·,6) applied symmetrically on both engines only
+#      for float-hash portability);
+#   2. fillMS2FragmentIon accepts noiseIntensity but never applies it
+#      (:270: raw ``spectrum.peaks``) — no noise floor here either.
+#
+# Scale shape: the ion stream is a stateless scan-project (precursors and
+# peaks are both row-local — no self-join); each report section is ONE
+# map-side-combined groupBy; the fragment fan-out (64/ion) explodes scan-side.
+# The rt list is collected as (num, scan_num, rt) structs and array_sort-ed
+# so within-group order is deterministic without a window.
+# ---------------------------------------------------------------------------
+_Q68_IONS = [495.0, 500.0, 505.0]  # listIonsOfInterest (ref: CLI m/z list)
+_Q68_PPM = 2000.0                  # ppm_precision (ref 3, re-scaled to grid)
+
+
+def _q68_sql() -> str:
+    c = candidate
+    from stream_reader_mzxml_spark.operators.nested import PREC_DIM
+
+    ions = ", ".join(str(v) for v in _Q68_IONS)
+    return f"""
+    WITH sp AS (
+      SELECT vec_id,
+             ((vec_id * 7) % 3600)::BIGINT AS rt,
+             list_transform(generate_series(1, {c.PEAK_DIM}), i ->
+               {{'mz': 100.0 + embedding[i]::DOUBLE * 10,
+                 'intensity': (((vec_id * {c.PEAK_DIM} + i - 1) * 37) % 1000)::DOUBLE}}
+             ) AS peaks,
+             list_transform(
+               generate_series(1, (vec_id % {PREC_DIM + 1})::INT),
+               i -> {{'value': 500.0 + embedding[i]::DOUBLE * 10,
+                      'scan_num': vec_id * {PREC_DIM} + i - 1}}
+             ) AS precursors
+      FROM embeddings
+    ),
+    ions AS (
+      SELECT vec_id AS num, rt, peaks, p.value AS m0, p.scan_num
+      FROM sp, unnest(sp.precursors) AS t(p)
+      WHERE EXISTS (SELECT 1 FROM unnest([{ions}]) AS u(y)
+                    WHERE abs(y - p.value) / y * 1e6 <= {_Q68_PPM})
+    ),
+    hdr AS (
+      SELECT 'header' AS section, NULL::DOUBLE AS key, NULL::VARCHAR AS rts,
+             count(*) AS cnt
+      FROM ions
+    ),
+    ion_rows AS (
+      SELECT 'ion' AS section, round(m0, 6) AS key,
+             string_agg(rt::VARCHAR, ' ' ORDER BY num, scan_num) AS rts,
+             count(*) AS cnt
+      FROM ions GROUP BY round(m0, 6)
+    ),
+    frag_rows AS (
+      SELECT 'fragment' AS section, round(f.mz, 6) AS key,
+             NULL::VARCHAR AS rts, count(*) AS cnt
+      FROM ions, unnest(ions.peaks) AS t(f)
+      GROUP BY round(f.mz, 6)
+    )
+    SELECT * FROM hdr UNION ALL
+    SELECT * FROM ion_rows UNION ALL
+    SELECT * FROM frag_rows
+    """
+
+
+@_register("q68_diagnostic_report", _q68_sql())
+def q68_diagnostic_report(spark, sf_dir):
+    from stream_reader_mzxml_spark.operators.nested import precursors_expr
+
+    c = candidate
+    sp = c.spectra_from_embeddings(
+        _t(spark, sf_dir, "embeddings"), keep_embedding=True
+    ).select(
+        "vec_id",
+        F.col("rt").cast("long").alias("rt"),
+        "peaks",
+        precursors_expr().alias("precursors"),
+    )
+    ions_arr = F.array(*[F.lit(v) for v in _Q68_IONS])
+    matched = F.filter(
+        F.col("precursors"),
+        lambda p: F.exists(
+            ions_arr, lambda y: F.abs(y - p["value"]) / y * 1e6 <= _Q68_PPM
+        ),
+    )
+    ions = sp.select(
+        F.col("vec_id").alias("num"),
+        "rt",
+        "peaks",
+        F.explode(matched).alias("p"),
+    ).select(
+        "num", "rt", "peaks",
+        F.col("p.value").alias("m0"),
+        F.col("p.scan_num").alias("scan_num"),
+    )
+    hdr = ions.agg(
+        F.lit("header").alias("section"),
+        F.lit(None).cast("double").alias("key"),
+        F.lit(None).cast("string").alias("rts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # rt list in stream order (num, scan_num): collect tagged structs, sort,
+    # project — deterministic without a window or a single-task sort
+    ion_rows = (
+        ions.groupBy(F.round("m0", 6).alias("key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("num", "scan_num", "rt"))
+            ).alias("tagged"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.lit("ion").alias("section"),
+            "key",
+            F.array_join(
+                F.transform(F.col("tagged"), lambda t: t["rt"].cast("string")),
+                " ",
+            ).alias("rts"),
+            "cnt",
+        )
+    )
+    frag_rows = (
+        ions.select(F.explode("peaks").alias("f"))
+        .groupBy(F.round(F.col("f.mz"), 6).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("fragment").alias("section"),
+            "key",
+            F.lit(None).cast("string").alias("rts"),
+            "cnt",
+        )
+    )
+    return hdr.unionByName(ion_rows).unionByName(frag_rows)

@@ -1197,3 +1197,95 @@ class TestCorpusWriter:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql(f"DROP TABLE {t1}")
             spark.sql(f"DROP TABLE {t2}")
+
+
+@pytest.mark.spark
+class TestMixtureStreaming:
+    def test_mixture_runs_on_stream_row_for_row(self, spark, tmp_path):
+        # with per-source totals precomputed (the production shape: rates
+        # are decided from corpus stats ahead of time), mixture_sample is a
+        # stream-static broadcast join + scan projection — append-mode safe
+        # and row-for-row equal to the batch run given the same totals
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline import mixing
+
+        rows = [
+            (i, f"s{i % 3}", " ".join(f"w{j}" for j in range((i % 9) + 1)))
+            for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        totals = df.select(
+            "source", mixing._ws_tokens("text").alias("n")
+        ).groupBy("source").agg(F.sum("n").alias("src_tokens"))
+
+        src = str(tmp_path / "mix_stream")
+        df.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, source STRING, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"mix_{uuid.uuid4().hex[:8]}"
+        q = (
+            mixing.mixture_sample(stream, target_tokens=100, totals=totals)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(
+            map(
+                tuple,
+                mixing.mixture_sample(
+                    df, target_tokens=100, totals=totals
+                ).collect(),
+            )
+        )
+        assert len(exp) == 90
+        assert got == exp
+        # and the precomputed-totals batch form equals the self-computed one
+        self_computed = sorted(
+            map(tuple, mixing.mixture_sample(df, target_tokens=100).collect())
+        )
+        assert exp == self_computed
+
+
+@pytest.mark.spark
+class TestContextChunksStreaming:
+    def test_chunks_run_on_stream_row_for_row(self, spark, tmp_path):
+        # context_chunks is a zero-shuffle posexplode projection — must run
+        # unchanged on a stream and emit the batch rows row-for-row
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline import text as t
+
+        rows = [
+            (i, " ".join(f"tok{i}_{j}" for j in range((i % 40) + 1)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        src = str(tmp_path / "chunk_stream")
+        df.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"chunks_{uuid.uuid4().hex[:8]}"
+        q = (
+            t.context_chunks(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, t.context_chunks(df).collect()))
+        assert len(exp) > 60  # multi-chunk docs exist
+        assert got == exp

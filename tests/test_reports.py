@@ -230,3 +230,81 @@ class TestContextChunksStreaming:
         got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
         exp = sorted(map(tuple, context_chunks(docs).collect()))
         assert len(exp) > 0 and got == exp
+
+
+@pytest.mark.spark
+class TestIsotopeEnvelopeGolden:
+    def test_q67_hand_computed_spectrum(self, spark, tmp_path):
+        # Same spectrum model as q45's golden: vec_id=100 → rt = 700 ∈
+        # [150, 3300]; intensity(j) = (800 + 37j) % 1000.
+        #   j=0 → mz0 = 100.0,  int0 = 800 (every peak is probed — Main.scala
+        #                                   has NO minIntensity floor)
+        #   j=7 → mz 101.25,   int 59  (nearest to mz0+1.0)
+        #   j=8 → mz 101.875,  int 96  (nearest to mz0+1.996)
+        # Main.scala's COMBINED C+S band on M+1 (unlike q45's carbon-only):
+        #   M1_LO = 0.0108·3 + 0.00789·1.5 = 0.044235 → 800·0.044235 = 35.388
+        #   M1_HI = 0.0108·35 + 0.00789·5 = 0.41745  → 800·0.41745 = 333.96
+        #   int1 = 59 ∈ [35.388, 333.96)                               ✓
+        # S band on M+2: 96 ∈ [800·0.0444·1.5, 800·0.0444·5) = [53.28,177.6) ✓
+        # Every far peak (mz = 400+10j, spacing 10) probes ITSELF for M+1
+        # (ratio 1 > 0.41745 fails); j=7 probes j=8 (96 > 59·0.41745=24.6
+        # fails); j=8 probes itself (fails) → only j=0 survives.
+        v = [30.0 + j for j in range(64)]
+        v[0], v[7], v[8] = 0.0, 0.125, 0.1875
+        sf = _write_embeddings(spark, tmp_path, [(100, v)])
+
+        rows = rq.q67_isotope_envelope(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.num, r.pos, r.rt) == (100, 1, 700)
+        assert (r.mz0, r.int0) == (100.0, 800.0)
+        assert (r.mz1, r.int1) == (101.25, 59.0)
+        assert (r.mz2, r.int2) == (101.875, 96.0)
+        assert r.line == (
+            "(700,((100.000000,800.0),(101.250000,59.0),(101.875000,96.0)))"
+        )
+
+    def test_q67_rt_gate_excludes_spectrum(self, spark, tmp_path):
+        # vec_id=14 → rt = 98 < 150 → dropped by the rt range gate
+        v = [30.0 + j for j in range(64)]
+        v[0], v[7], v[8] = 0.0, 0.125, 0.1875
+        sf = _write_embeddings(spark, tmp_path, [(14, v)])
+        assert rq.q67_isotope_envelope(spark, sf).count() == 0
+
+
+@pytest.mark.spark
+class TestDiagnosticReportGolden:
+    def test_q68_hand_computed_report(self, spark, tmp_path):
+        # vec_id=100 → 100 % 9 = 1 precursor entry, i=0: value = 500 +
+        # v[0]·10 = 495.0 — EXACTLY listIons[0] (precisionTest Δ = 0 ppm);
+        # rt = 700; scan_num = 800. fragments = the FULL 64-peak list
+        # (fillMS2FragmentIon never applies its noiseIntensity parameter —
+        # reference quirk reproduced): mz 95.0 (j=0) and 400+10j (j≥1), all
+        # distinct → header(cnt=1) + 1 ion row + 64 fragment rows = 66.
+        v = [30.0 + j for j in range(64)]
+        v[0] = -0.5
+        sf = _write_embeddings(spark, tmp_path, [(100, v)])
+
+        rows = rq.q68_diagnostic_report(spark, sf).collect()
+        by_sec = {}
+        for r in rows:
+            by_sec.setdefault(r.section, []).append(r)
+        assert len(by_sec["header"]) == 1 and by_sec["header"][0].cnt == 1
+        (ion,) = by_sec["ion"]
+        assert (ion.key, ion.rts, ion.cnt) == (495.0, "700", 1)
+        frags = by_sec["fragment"]
+        assert len(frags) == 64 and all(f.cnt == 1 for f in frags)
+        assert {f.key for f in frags} == {95.0} | {
+            400.0 + 10 * j for j in range(1, 64)
+        }
+        assert len(rows) == 66
+
+    def test_q68_no_precursor_match_is_header_only(self, spark, tmp_path):
+        # value = 520 → >2000 ppm from every ion of interest → zero ions;
+        # the header row (ions:0) is still emitted, like the script's file
+        v = [30.0 + j for j in range(64)]
+        v[0] = 2.0
+        sf = _write_embeddings(spark, tmp_path, [(100, v)])
+        rows = rq.q68_diagnostic_report(spark, sf).collect()
+        assert len(rows) == 1
+        assert (rows[0].section, rows[0].cnt) == ("header", 0)
