@@ -35,7 +35,12 @@ LINEAGE_SCHEMA = (
 )
 
 
-def _batch_writer(out_dir: str, lineage_dir: str, token_col: str | None):
+def _batch_writer(
+    out_dir: str,
+    lineage_dir: str,
+    token_col: str | None,
+    id_col: str = "doc_id",
+):
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(lineage_dir, exist_ok=True)
 
@@ -67,8 +72,8 @@ def _batch_writer(out_dir: str, lineage_dir: str, token_col: str | None):
                 .agg(
                     F.count(F.lit(1)).alias("n_rows"),
                     n_tok_expr,
-                    F.min("doc_id").alias("min_doc_id"),
-                    F.max("doc_id").alias("max_doc_id"),
+                    F.min(id_col).alias("min_doc_id"),
+                    F.max(id_col).alias("max_doc_id"),
                 )
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .select(
@@ -100,6 +105,7 @@ def start_exactly_once(
     token_col: str | None = "tokens",
     trigger: dict | None = None,
     output_mode: str = "append",
+    id_col: str = "doc_id",
 ):
     """Start the checkpointed exactly-once query. Returns the StreamingQuery.
 
@@ -127,7 +133,7 @@ def start_exactly_once(
         ).alias("n_tokens"),
     )
     writer = observed.writeStream.outputMode(output_mode).foreachBatch(
-        _batch_writer(out_dir, lineage_dir, token_col)
+        _batch_writer(out_dir, lineage_dir, token_col, id_col=id_col)
     )
     writer = writer.option("checkpointLocation", checkpoint_dir)
     trigger = trigger if trigger is not None else {"availableNow": True}

@@ -394,3 +394,73 @@ class TestExactlyOnce:
         # exactly-once: no duplicates, no losses
         assert got.count() == batch.count()
         assert got.select("doc_id").distinct().count() == batch.count()
+
+
+@pytest.mark.spark
+class TestStatefulKillResume:
+    def test_state_store_recovery_no_dups_no_loss(
+        self, spark, small_seq_path, tmp_path
+    ):
+        """Exactly-once THROUGH applyInPandasWithState: kill the stateful
+        shard join mid-stream (after ≥1 committed batch, with live join
+        state in the store), resume from the same checkpoint, and assert the
+        committed output equals the batch oracle row-for-row — the
+        state-store recovery path, not just the sink's idempotence."""
+        out_dir = str(tmp_path / "ssj_out")
+        ckpt = str(tmp_path / "ssj_ckpt")
+
+        def joined_stream():
+            stream = read_sequences_stream(
+                spark, small_seq_path, max_files_per_trigger=1
+            )
+            return stateful.stateful_shard_join(stream, watermark="30 seconds")
+
+        # phase 1: processingTime trigger; kill once ≥1 batch is committed
+        q = start_exactly_once(
+            joined_stream(), out_dir, ckpt,
+            token_col="clean_tokens", id_col="ms2_doc_id",
+            trigger={"processingTime": "1 second"},
+        )
+        deadline = time.time() + 120
+        done = []
+        while time.time() < deadline:
+            if os.path.isdir(out_dir):
+                done = [
+                    d
+                    for d in os.listdir(out_dir)
+                    if d.startswith("batch_id=")
+                    and os.path.exists(os.path.join(out_dir, d, "_COMMITTED"))
+                ]
+                if len(done) >= 1:
+                    break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        assert len(done) >= 1, "never committed a batch before the kill"
+
+        # phase 2: resume from the same checkpoint — the state store must
+        # restore the ms1/ms2 buffers so matches spanning the kill point
+        # still emit exactly once
+        q2 = start_exactly_once(
+            joined_stream(), out_dir, ckpt,
+            token_col="clean_tokens", id_col="ms2_doc_id",
+        )
+        q2.awaitTermination(300)
+
+        got = sorted(
+            (
+                r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds,
+                tuple(r.clean_tokens), r.n_clean,
+            )
+            for r in read_output(spark, out_dir).collect()
+        )
+        batch = read_sequences(spark, small_seq_path)
+        exp = sorted(
+            (
+                r.ms1_doc_id, r.ms2_doc_id, r.ms2_source, r.dt_seconds,
+                tuple(r.clean_tokens), r.n_clean,
+            )
+            for r in stateful.shard_join_batch_oracle(batch).collect()
+        )
+        assert len(exp) > 100
+        assert got == exp
