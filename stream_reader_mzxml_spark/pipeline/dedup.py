@@ -460,6 +460,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 60,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup clusters: connected components of the candidate-pair graph.
 
@@ -512,7 +513,9 @@ def connected_components(
 
     prev_sig = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         edges = _star(edges, large=True)
         edges = _star(edges, large=False).localCheckpoint()
         # convergence scalar: order-independent checksum + count of the edge
@@ -529,6 +532,10 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
+    if stats is not None:
+        # observability for scale-shape evidence: rounds vs graph diameter
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev_sig[0] if prev_sig else 0
     if not converged:
         # A non-star edge set here would make dedup_apply keep/drop the
         # WRONG docs downstream — fail loudly rather than return it.

@@ -905,12 +905,6 @@ def q68_diagnostic_report(spark, sf_dir):
         F.col("p.value").alias("m0"),
         F.col("p.scan_num").alias("scan_num"),
     )
-    hdr = ions.agg(
-        F.lit("header").alias("section"),
-        F.lit(None).cast("double").alias("key"),
-        F.lit(None).cast("string").alias("rts"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
     # rt list in stream order (num, scan_num): collect tagged structs, sort,
     # project — deterministic without a window or a single-task sort
     ion_rows = (
@@ -941,5 +935,17 @@ def q68_diagnostic_report(spark, sf_dir):
             F.lit(None).cast("string").alias("rts"),
             "cnt",
         )
+    )
+    # header derived from the per-m0 aggregate (sum of group counts == total
+    # ions), not a raw count over a third full pass: column pruning reduces
+    # the header branch to a count-shaped scan of the precursor columns only
+    # (no peaks, no rt-list collect) — each report section is an independent
+    # pruned pass, the declarative analog of the script's in-memory re-reads
+    # of its materialized ion list (diagnosticIon.sc:29,37,45)
+    hdr = ion_rows.agg(
+        F.lit("header").alias("section"),
+        F.lit(None).cast("double").alias("key"),
+        F.lit(None).cast("string").alias("rts"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt"),
     )
     return hdr.unionByName(ion_rows).unionByName(frag_rows)

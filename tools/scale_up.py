@@ -1,0 +1,99 @@
+"""Deterministic scale-up of the driver's sf0.1 corpus tables for
+scale-shape benchmarking (VERDICT r3 next-item 4): derives sfK directories
+(K x rows) under /tmp from /root/testdata/sf0.1 WITHOUT inventing new data
+distributions.
+
+Replication discipline — the point is that per-query cost must grow
+LINEARLY, so the scale-up must not manufacture super-linear work:
+
+- documents: replica k remaps every word through a rotation of the corpus'
+  own (tiny) vocabulary. Within a replica, every pairwise Jaccard /
+  MinHash / SimHash / segment-hash relation of the original corpus is
+  preserved EXACTLY (a vocab bijection is shingle-set-cardinality- and
+  overlap-preserving), so dup clusters scale in COUNT (x K), not in size;
+  across replicas, shingles land in disjoint regions of shingle space, so
+  cross-replica near-dup pairs are noise, not K^2 blowup. doc_id offset
+  = k * (max_id+1); source/lang carried over (source totals scale x K,
+  preserving the mixture/packing axis).
+- embeddings: replica k rolls the component order by k (norm- and
+  within-replica-dot-product-preserving), vec_id offset likewise.
+
+Usage: python tools/scale_up.py [K] [out_dir]  (default K=10 -> /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def scale_documents(out_dir: str, k_reps: int) -> int:
+    con = duckdb.connect()
+    tbl = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id")
+    rows = tbl.fetchall()
+    cols = [d[0] for d in tbl.description]
+    i_id, i_text = cols.index("doc_id"), cols.index("text")
+    vocab = sorted(
+        {w for r in rows for w in r[i_text].split(" ") if w}
+    )
+    stride = max(r[i_id] for r in rows) + 1
+    out_rows = []
+    for k in range(k_reps):
+        rot = {w: vocab[(i + k) % len(vocab)] for i, w in enumerate(vocab)}
+        for r in rows:
+            r = list(r)
+            r[i_id] = r[i_id] + k * stride
+            if k:  # replica 0 is the original corpus byte-for-byte
+                r[i_text] = " ".join(rot[w] for w in r[i_text].split(" "))
+            out_rows.append(tuple(r))
+    arrs = list(zip(*out_rows))
+    schema = tbl.arrow().schema
+    t = pa.table(
+        {c: pa.array(arrs[i], type=schema.field(c).type) for i, c in enumerate(cols)}
+    )
+    pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
+    return len(out_rows)
+
+
+def scale_embeddings(out_dir: str, k_reps: int) -> int:
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    stride = int(ids.max()) + 1
+    all_ids, all_emb = [], []
+    for k in range(k_reps):
+        all_ids.append(ids + k * stride)
+        all_emb.append(np.roll(emb, k, axis=1))
+    ids_o = np.concatenate(all_ids)
+    emb_o = np.concatenate(all_emb)
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids_o, type=t.schema.field("vec_id").type),
+            "embedding": pa.array(
+                [row.tolist() for row in emb_o],
+                type=t.schema.field("embedding").type,
+            ),
+        }
+    )
+    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    return len(ids_o)
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    nd = scale_documents(out_dir, k)
+    ne = scale_embeddings(out_dir, k)
+    print(f"{out_dir}: documents={nd} embeddings={ne} (K={k})")
+
+
+if __name__ == "__main__":
+    main()
