@@ -56,8 +56,10 @@ HEADLINE = [
     # corpus-pipeline heavies (round 3): curation composite, line-level
     # segment dedup, mixture sampling, sequence packing (distributed
     # prefix sum). q54 clusters is excluded: its wall is dominated by
-    # per-round fixed latency at local scale (2-3 rounds x ~1.5 s), which
-    # measures the scheduler, not the engine.
+    # per-round fixed latency at local scale, which measures the scheduler,
+    # not the engine — quantified in SCALE_SHAPE_r4.json: rounds stay at 2
+    # across 1x/10x/30x data and wall is near-flat 10x->30x (11.35->11.76 s)
+    # while edges grow 3x (2433->7301), i.e. wall ~ rounds * fixed latency.
     "q42_corpus_curation",
     "q51_segment_dedup",
     "q57_mixture_sample",
@@ -299,7 +301,40 @@ def bench_once(
         "loadavg_before": round(load_before[0], 2),
         "loadavg_after": round(os.getloadavg()[0], 2),
         "loadavg_by_query": query_loads,
+        **_recorded_evidence(),
     }
+
+
+def _recorded_evidence() -> dict:
+    """Attach the latest recorded scale-shape and scaling-efficiency runs
+    (produced by tools/bench_scale_shape.py and ``--scaling --pin``) so a
+    plain ``python bench.py`` run — what the driver records as BENCH_rN —
+    carries the sf1/sf3 linearity evidence and the N→4N efficiency number
+    alongside the sf0.1 walls, instead of leaving them only in BASELINE.md."""
+    out: dict = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    ss = os.path.join(root, "SCALE_SHAPE_r4.json")
+    if os.path.exists(ss):
+        with open(ss) as fh:
+            d = json.load(fh)
+        out["scale_shape"] = {
+            name: {
+                lbl: row for lbl, row in scales.items()
+            }
+            for name, scales in d.get("family", {}).items()
+        }
+        out["scale_shape"]["q54_rounds"] = d.get("q54_rounds", {})
+    sc = os.path.join(root, "SCALING_r4.json")
+    if os.path.exists(sc):
+        with open(sc) as fh:
+            d = json.load(fh)
+        out["scaling"] = {
+            k: d.get(k)
+            for k in ("value", "low", "high", "trial_efficiencies",
+                      "trial_throughputs", "pass_ge_0.8", "pinned_cpus")
+            if k in d
+        }
+    return out
 
 
 def bench_level_subprocess(
@@ -477,6 +512,10 @@ def main() -> None:
             extra_conf=extra_conf, pin=args.pin,
         )
         result["pinned_cpus"] = args.pin
+        # record for _recorded_evidence() so plain bench runs carry it
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_r4.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
     else:
         result = bench_once(
             args.cpus, args.sf_dir,

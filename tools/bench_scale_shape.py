@@ -46,17 +46,25 @@ def run_one(spark, fn, sf_dir: str):
     return wall, n
 
 
-def main(out_path: str = "SCALE_SHAPE_r4.json"):
+def main(out_path: str = "SCALE_SHAPE_r4.json", only: list[str] | None = None):
     import __spark_entry__ as e
     from stream_reader_mzxml_spark.pipeline import dedup
     from stream_reader_mzxml_spark.session import get_spark
 
     spark = get_spark(app_name="scale_shape", cpus=32, shuffle_partitions=32)
     qs = e.queries()
-    out = {"family": {}, "q54_rounds": {}}
+    # chunked runs (one scale per invocation, to bound single-process wall)
+    # accumulate into the same file
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            out = json.load(fh)
+    else:
+        out = {"family": {}, "q54_rounds": {}}
     for name in FAMILY:
-        out["family"][name] = {}
+        out["family"].setdefault(name, {})
     for label, sf_dir, k in SCALES:
+        if only and label not in only:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
             continue
@@ -91,4 +99,7 @@ def main(out_path: str = "SCALE_SHAPE_r4.json"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_SHAPE_r4.json")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "SCALE_SHAPE_r4.json",
+        only=sys.argv[2:] or None,
+    )
