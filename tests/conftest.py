@@ -15,11 +15,20 @@ from stream_reader_mzxml_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    conf = {"spark.sql.streaming.stateStore.stateSchemaCheck": "false"}
+    # SPARK_GRAFT_STATESTORE=rocksdb runs the whole suite on the production
+    # state backend (state >> heap at 10^12-sequence scale); the default
+    # on-heap provider stays for speed at test/bench state sizes.
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     s = get_spark(
         app_name="tests",
         cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")),
         shuffle_partitions=8,
-        extra_conf={"spark.sql.streaming.stateStore.stateSchemaCheck": "false"},
+        extra_conf=conf,
     )
     yield s
 
