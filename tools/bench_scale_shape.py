@@ -30,12 +30,20 @@ FAMILY = [
     "q64_segment_dedup_apply",
 ]
 
-SCALES = [
-    ("sf0.1", "/root/testdata/sf0.1", 1),
-    ("sf1", "/tmp/sf1", 10),
-    ("sf3", "/tmp/sf3", 30),
-]
+# all three scales use the same cluster-realistic many-file layout: sf1/sf3
+# are written chunked by tools/scale_up.py, and the sf0.1 point goes through
+# bench.rechunk_tables (same rows, many files) — comparing a single-row-group
+# serial-scan 1x point against chunked 10x/30x points would overstate
+# sub-linearity by exactly the parallelism the 1x point was denied
+def _scales():
+    from bench import rechunk_tables
 
+    sf01, _ = rechunk_tables("/root/testdata/sf0.1")
+    return [
+        ("sf0.1", sf01, 1),
+        ("sf1", "/tmp/sf1", 10),
+        ("sf3", "/tmp/sf3", 30),
+    ]
 
 def run_one(spark, fn, sf_dir: str):
     t0 = time.monotonic()
@@ -62,7 +70,7 @@ def main(out_path: str = "SCALE_SHAPE_r4.json", only: list[str] | None = None):
         out = {"family": {}, "q54_rounds": {}}
     for name in FAMILY:
         out["family"].setdefault(name, {})
-    for label, sf_dir, k in SCALES:
+    for label, sf_dir, k in _scales():
         if only and label not in only:
             continue
         if not os.path.isdir(sf_dir):

@@ -34,6 +34,27 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
+def write_chunked(t: pa.Table, dst: str, rows_per_file: int = 1024) -> None:
+    """Write as a many-file directory (cluster-realistic layout).
+
+    One file = one row group = one atomic scan unit: a single-file,
+    single-row-group table serializes every scan+project stage onto one
+    task regardless of cores, which is a fixture artifact — at real scale
+    tables are thousands of files with many row groups each. K x the data
+    must come with K x the scan granularity or the 'scale-up' measures a
+    lengthening serial stage, not the engine."""
+    import math
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+    os.makedirs(dst)
+    n_files = max(1, math.ceil(t.num_rows / rows_per_file))
+    step = math.ceil(t.num_rows / n_files)
+    for i in range(n_files):
+        pq.write_table(t.slice(i * step, step), os.path.join(dst, f"part-{i:05d}.parquet"))
+
+
 def scale_documents(out_dir: str, k_reps: int) -> int:
     con = duckdb.connect()
     tbl = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id")
@@ -58,7 +79,7 @@ def scale_documents(out_dir: str, k_reps: int) -> int:
     t = pa.table(
         {c: pa.array(arrs[i], type=schema.field(c).type) for i, c in enumerate(cols)}
     )
-    pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
+    write_chunked(t, os.path.join(out_dir, "documents.parquet"))
     return len(out_rows)
 
 
@@ -82,7 +103,7 @@ def scale_embeddings(out_dir: str, k_reps: int) -> int:
             ),
         }
     )
-    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    write_chunked(out, os.path.join(out_dir, "embeddings.parquet"))
     return len(ids_o)
 
 
