@@ -238,7 +238,9 @@ def run_streaming_suite(
     return out
 
 
-def rechunk_tables(sf_dir: str, max_files: int = 64) -> tuple[str, float]:
+def rechunk_tables(
+    sf_dir: str, max_files: int = 64, out_base: str | None = None
+) -> tuple[str, float]:
     """Rewrite the driver's single-file, SINGLE-ROW-GROUP tables as
     many-file directories (once, cached); return (path, build_seconds).
 
@@ -256,7 +258,9 @@ def rechunk_tables(sf_dir: str, max_files: int = 64) -> tuple[str, float]:
 
     import pyarrow.parquet as pq
 
-    out = os.path.join(CACHE_DIR, f"rechunk_{os.path.basename(sf_dir.rstrip('/'))}")
+    out = os.path.join(
+        out_base or CACHE_DIR, f"rechunk_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     marker = os.path.join(out, "_rechunk_done")
     if os.path.exists(marker):
         return out, 0.0

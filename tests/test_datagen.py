@@ -102,3 +102,42 @@ class TestReportSinks:
         )
         lines = {r.value for r in spark.read.text(txt_dir).collect()}
         assert lines == {"1;2.5;a", "2;3.5;b"}
+
+
+def test_rechunk_tables_preserves_values(tmp_path):
+    """bench.rechunk_tables must change only file boundaries, never values:
+    same rows, same schema, many files, and the scaled-corpus writer's
+    one-row-group-per-file layout (each file is one atomic scan unit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os
+
+    from bench import rechunk_tables
+
+    src = tmp_path / "sfx"
+    src.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), type=pa.int64()),
+            "text": pa.array([f"w{i} w{i+1}" for i in range(1000)]),
+        }
+    )
+    pq.write_table(t, src / "documents.parquet")
+    assert pq.ParquetFile(src / "documents.parquet").metadata.num_row_groups == 1
+
+    out, _build = rechunk_tables(str(src), out_base=str(tmp_path / "cache"))
+    dst = os.path.join(out, "documents.parquet")
+    assert os.path.isdir(dst)
+    parts = sorted(os.listdir(dst))
+    assert len(parts) > 1
+    back = pq.read_table(dst)
+    assert back.schema.equals(t.schema)
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(1000))
+    assert (
+        sorted(back.column("text").to_pylist())
+        == sorted(t.column("text").to_pylist())
+    )
+    # cached second call is a no-op
+    out2, build2 = rechunk_tables(str(src), out_base=str(tmp_path / "cache"))
+    assert out2 == out and build2 == 0.0
