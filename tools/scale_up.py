@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SCALE_UP_SRC", "/root/testdata/sf0.1")
 
 
 def write_chunked(t: pa.Table, dst: str, rows_per_file: int = 1024) -> None:
@@ -55,9 +55,9 @@ def write_chunked(t: pa.Table, dst: str, rows_per_file: int = 1024) -> None:
         pq.write_table(t.slice(i * step, step), os.path.join(dst, f"part-{i:05d}.parquet"))
 
 
-def scale_documents(out_dir: str, k_reps: int) -> int:
+def scale_documents(out_dir: str, k_reps: int, src: str = SRC) -> int:
     con = duckdb.connect()
-    tbl = con.sql(f"SELECT * FROM '{SRC}/documents.parquet' ORDER BY doc_id")
+    tbl = con.sql(f"SELECT * FROM '{src}/documents.parquet' ORDER BY doc_id")
     rows = tbl.fetchall()
     cols = [d[0] for d in tbl.description]
     i_id, i_text = cols.index("doc_id"), cols.index("text")
@@ -83,8 +83,8 @@ def scale_documents(out_dir: str, k_reps: int) -> int:
     return len(out_rows)
 
 
-def scale_embeddings(out_dir: str, k_reps: int) -> int:
-    t = pq.read_table(f"{SRC}/embeddings.parquet")
+def scale_embeddings(out_dir: str, k_reps: int, src: str = SRC) -> int:
+    t = pq.read_table(f"{src}/embeddings.parquet")
     ids = t.column("vec_id").to_numpy()
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     stride = int(ids.max()) + 1
