@@ -10,11 +10,18 @@ LINEARLY, so the scale-up must not manufacture super-linear work:
   own (tiny) vocabulary. Within a replica, every pairwise Jaccard /
   MinHash / SimHash / segment-hash relation of the original corpus is
   preserved EXACTLY (a vocab bijection is shingle-set-cardinality- and
-  overlap-preserving), so dup clusters scale in COUNT (x K), not in size;
-  across replicas, shingles land in disjoint regions of shingle space, so
-  cross-replica near-dup pairs are noise, not K^2 blowup. doc_id offset
-  = k * (max_id+1); source/lang carried over (source totals scale x K,
-  preserving the mixture/packing axis).
+  overlap-preserving), so dup clusters scale in COUNT (x K), not in size.
+  Across replicas the guarantee differs by op family — measured at K=30:
+  SHINGLE-SET ops (Jaccard, MinHash, segment hashes) see cross-replica
+  pairs as pure noise because rotated shingles land in disjoint regions of
+  shingle space (q26 emitted 7653 pairs = 29.9x its 1x 256 — exact); but
+  SimHash keys on the word-FREQUENCY profile over the shared, fixed vocab,
+  so cross-replica signatures stay correlated and hamming<=3 pairs grow
+  super-linearly (q27: 100510 at 30x vs 14880 expected within-replica) —
+  realistic, in fact, for real corpora whose vocab grows sublinearly, and
+  handled by q27's banding (its WALL stays sub-linear, 0.34x/unit at 30x).
+  doc_id offset = k * (max_id+1); source/lang carried over (source totals
+  scale x K, preserving the mixture/packing axis).
 - embeddings: replica k rolls the component order by k (norm- and
   within-replica-dot-product-preserving), vec_id offset likewise.
 
