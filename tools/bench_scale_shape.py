@@ -76,6 +76,9 @@ def main(out_path: str = "SCALE_SHAPE_r4.json", only: list[str] | None = None):
         if not os.path.isdir(sf_dir):
             print(f"skip {label}: {sf_dir} missing", file=sys.stderr)
             continue
+        # warmup: absorb session/codegen start-up cost so the first family
+        # entry's wall measures the query, not JVM warmup
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         for name in FAMILY:
             wall, n = run_one(spark, qs[name], sf_dir)
             out["family"][name][label] = {

@@ -95,4 +95,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(names=sys.argv[1:] or None))
+    sys.exit(
+        main(
+            sf_dir=os.environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+            names=sys.argv[1:] or None,
+        )
+    )
