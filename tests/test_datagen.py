@@ -177,3 +177,34 @@ def test_scale_up_deterministic_and_structure_preserving(tmp_path):
     emb = pq.read_table(str(out1 / "embeddings.parquet"))
     orig_e = pq.read_table(f"{src}/embeddings.parquet")
     assert emb.num_rows == k * orig_e.num_rows
+
+
+@pytest.mark.spark
+class TestStdoutReportSink:
+    def test_show_report_prints_all_rows(self, spark, capfd):
+        """S12 — the stdout top-K report must print every row untruncated
+        (MainDistribution*.scala println loops print full values)."""
+        from stream_reader_mzxml_spark.sources.sinks import show_report
+
+        df = spark.createDataFrame(
+            [(i, f"value_{i}_{'x' * 30}") for i in range(5)], ["k", "s"]
+        )
+        show_report(df, k=5)
+        out = capfd.readouterr().out
+        for i in range(5):
+            assert f"value_{i}_" in out
+        assert "x" * 30 in out  # truncate=False: long cells stay whole
+
+
+class TestBenchCli:
+    def test_conf_validation_rejects_bad_kv(self):
+        """S14 — the CLI argument scan must reject malformed --conf."""
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "bench.py", "--conf", "not_a_kv"],
+            capture_output=True, text=True,
+        )
+        assert r.returncode != 0
+        assert "--conf expects K=V" in (r.stderr + r.stdout)
