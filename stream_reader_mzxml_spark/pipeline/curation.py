@@ -278,3 +278,54 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
         keep.cast("int").alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+HOLDOUT_VAL_PPM = 100_000  # 10%
+HOLDOUT_TEST_PPM = 50_000  # 5%
+
+
+def holdout_split(
+    df: DataFrame,
+    val_ppm: int = HOLDOUT_VAL_PPM,
+    test_ppm: int = HOLDOUT_TEST_PPM,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+) -> DataFrame:
+    """Deterministic train/val/test holdout assignment — the split step a
+    training pipeline runs before packing, so eval documents never leak
+    into the training mixture.
+
+    Assignment is a pure function of the document id: ``draw_ppm =
+    (h32('split:' || doc_id) * 1_000_000) >> 32`` maps the 32-bit hash onto
+    [0, 1e6) with exact BIGINT arithmetic (h32 < 2^32, so the product fits
+    well under 2^63 — no float rounding to diverge between engines), and
+    split thresholds are parts-per-million cut points on that draw. Hash
+    thresholds rather than exact per-source quotas, deliberately: membership
+    is then STABLE under corpus growth (a doc's split never changes when new
+    docs arrive or others are dropped — re-splitting on every refresh leaks
+    yesterday's train docs into today's test), requires zero state, and is
+    streaming-safe as a scan projection. Per-source stratification holds in
+    expectation by uniformity of the draw within every source; exact quotas
+    would need a per-source global rank.
+
+    The ``split:`` salt keeps this draw independent of
+    ``mixing.mixture_sample``'s unsalted draw and ``domain_caps``'s
+    ``cap:`` draw — the same salting discipline those operators document
+    (unsalted, "independent" decisions correlate perfectly).
+
+    Scale: zero-shuffle stateless projection; the text never rides it.
+    """
+    from stream_reader_mzxml_spark.pipeline.text import h32
+
+    draw = F.shiftright(
+        h32(F.concat(F.lit("split:"), F.col(id_col).cast("string")))
+        * F.lit(1_000_000).cast("long"),
+        32,
+    )
+    base = df.select(id_col, key_col, draw.alias("draw_ppm"))
+    split = (
+        F.when(F.col("draw_ppm") < test_ppm, F.lit("test"))
+        .when(F.col("draw_ppm") < test_ppm + val_ppm, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return base.select(id_col, key_col, "draw_ppm", split.alias("split"))

@@ -1312,3 +1312,29 @@ def q65_epoch_order(spark, sf_dir):
 )
 def q66_sequence_manifest(spark, sf_dir):
     return mixing.sequence_manifest(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q69 — deterministic stratified holdout split (train/val/test): hash-
+# threshold membership (stable under corpus growth, zero state, streaming-
+# safe scan projection); 'split:' salt keeps the draw independent of the
+# mixture/cap draws. Exact BIGINT draw: (h32 * 1e6) >> 32 in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "q69_holdout_split",
+    f"""
+    SELECT doc_id, source, draw_ppm,
+           CASE WHEN draw_ppm < {curation.HOLDOUT_TEST_PPM} THEN 'test'
+                WHEN draw_ppm < {curation.HOLDOUT_TEST_PPM + curation.HOLDOUT_VAL_PPM}
+                  THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, source,
+             ({_H32.format(x="'split:' || doc_id::VARCHAR")} * 1000000) >> 32
+               AS draw_ppm
+      FROM documents
+    )
+    """,
+)
+def q69_holdout_split(spark, sf_dir):
+    return curation.holdout_split(_t(spark, sf_dir, "documents"))

@@ -1289,3 +1289,87 @@ class TestContextChunksStreaming:
         exp = sorted(map(tuple, t.context_chunks(df).collect()))
         assert len(exp) > 60  # multi-chunk docs exist
         assert got == exp
+
+
+@pytest.mark.spark
+class TestHoldoutSplit:
+    def test_split_disjoint_exhaustive_stable(self, spark):
+        """Every doc gets exactly one split; rates track the ppm thresholds;
+        membership is a pure function of doc_id (stable under corpus
+        growth: the same doc keeps its split in a larger corpus)."""
+        from stream_reader_mzxml_spark.pipeline.curation import holdout_split
+
+        small = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"), F.lit("src_a").alias("source")
+        )
+        out = holdout_split(small).collect()
+        assert len(out) == 2000
+        by_split = {}
+        for r in out:
+            assert r.split in ("train", "val", "test")
+            by_split.setdefault(r.split, set()).add(r.doc_id)
+        # rates within 3 sigma of 10% val / 5% test
+        assert abs(len(by_split["val"]) - 200) < 3 * (2000 * 0.1 * 0.9) ** 0.5
+        assert abs(len(by_split["test"]) - 100) < 3 * (2000 * 0.05 * 0.95) ** 0.5
+        # growth stability: the first 2000 docs keep their split in a 4000-doc corpus
+        big = spark.range(0, 4000).select(
+            F.col("id").alias("doc_id"), F.lit("src_a").alias("source")
+        )
+        big_map = {
+            r.doc_id: r.split
+            for r in holdout_split(big).collect()
+            if r.doc_id < 2000
+        }
+        assert all(big_map[r.doc_id] == r.split for r in out)
+
+    def test_split_draw_independent_of_mixture_draw(self, spark):
+        """The 'split:' salt decorrelates this draw from mixture_sample's
+        unsalted h32(doc_id): among mixture-favored (low unsalted hash)
+        docs, the test+val fraction stays at the configured rate."""
+        from stream_reader_mzxml_spark.pipeline.curation import holdout_split
+        from stream_reader_mzxml_spark.pipeline.text import h32
+
+        docs = spark.range(0, 4000).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("source")
+        )
+        joined = (
+            holdout_split(docs)
+            .withColumn("unsalted", h32(F.col("doc_id").cast("string")))
+        )
+        low_half = joined.filter(
+            F.col("unsalted") < F.lit(2**31)
+        )
+        n = low_half.count()
+        eval_n = low_half.filter(F.col("split") != "train").count()
+        p = 0.15
+        assert abs(eval_n - p * n) < 4 * (n * p * (1 - p)) ** 0.5
+
+    def test_split_runs_on_stream_row_for_row(self, spark, tmp_path):
+        """Zero-shuffle scan projection — must run unchanged on a stream."""
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline.curation import holdout_split
+
+        df = spark.createDataFrame(
+            [(i, f"src_{i % 3}") for i in range(100)], ["doc_id", "source"]
+        )
+        src = str(tmp_path / "split_stream")
+        df.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, source STRING")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"split_{uuid.uuid4().hex[:8]}"
+        q = (
+            holdout_split(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, holdout_split(df).collect()))
+        assert got == exp
