@@ -4,12 +4,13 @@ Images/audio/video ride as ``binary`` columns with a metadata struct —
 exactly how the reference treats its packed peak blobs (base64 →
 ``MzXMLTags.scala:297-327``): payload stays opaque until a vectorized kernel
 decodes it. The Spark-side plumbing is real and tested — schema, Arrow batch
-shape over ``mapInPandas``, partition-preserving projection — and so is ONE
-codec: binary PNM images (PGM/PPM) decode in pure numpy (``decode_pnm``),
-no imaging library required. ``decode_stub=True`` computes a deterministic
-fake feature from the raw bytes (any media type); ``decode_stub=False``
-really decodes PNM payloads and raises ``NotImplementedError`` for media
-types whose codecs (pillow/ffmpeg) this container lacks.
+shape over ``mapInPandas``, partition-preserving projection — and so are TWO
+codecs: binary PNM images (PGM/PPM, ``decode_pnm``) and RIFF/WAVE PCM audio
+(``decode_wav``) decode in pure numpy, no imaging/audio library required.
+``decode_stub=True`` computes a deterministic fake feature from the raw
+bytes (any media type); ``decode_stub=False`` really decodes PNM and WAV
+payloads and raises ``NotImplementedError`` for media types whose codecs
+(pillow/ffmpeg) this container lacks.
 
 At 100 TB: payload columns dominate scan bytes, so every query that does not
 need them must project them out *before* any shuffle (column pruning does
@@ -131,6 +132,60 @@ def _pnm_feature(buf: bytes, dim: int = 4) -> list[float]:
     return (means + [0.0] * dim)[:dim]
 
 
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM — no audio library needed: a
+    RIFF container (``'RIFF' <u4 size> 'WAVE'``) holding ``<id><u4 size>``
+    chunks (odd-sized chunks pad one byte); the ``fmt `` chunk gives
+    format/channels/rate/bit-depth, the ``data`` chunk holds interleaved
+    little-endian frames. Supports the two canonical PCM sample types:
+    unsigned 8-bit (centered by -128) and signed 16-bit.
+
+    Returns ``(samples, sample_rate)`` with samples shaped
+    (n_frames, n_channels) as float64 in native PCM units.
+    """
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAVE format {audio_format}")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("sample count does not divide into channels")
+    return samples.reshape(-1, n_channels), sample_rate
+
+
+def _wav_feature(buf: bytes, dim: int = 4) -> list[float]:
+    """Per-channel sample means (zero-padded to ``dim``) from a real decode."""
+    samples, _rate = decode_wav(buf)
+    means = [
+        round(float(samples[:, c].mean()), 6) for c in range(samples.shape[1])
+    ]
+    return (means + [0.0] * dim)[:dim]
+
+
 def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Decode / feature-extract payloads via ``mapInPandas``.
 
@@ -156,6 +211,8 @@ def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     elif mt in ("image/ppm", "image/pgm", "image/x-portable-pixmap",
                                 "image/x-portable-graymap"):
                         feats.append(_pnm_feature(b))
+                    elif mt in ("audio/wav", "audio/x-wav", "audio/wave"):
+                        feats.append(_wav_feature(b))
                     else:
                         raise NotImplementedError(
                             f"real decode for {mt} needs pillow/ffmpeg — "
@@ -205,6 +262,66 @@ def pnm_fixture_media(df: DataFrame, n: int = PNM_FIX_N) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": ["image/ppm"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        build, "doc_id long, media_type string, payload binary"
+    )
+
+
+# --- WAV fixture generator (q70): real-codec output, SQL-predictable ------
+WAV_FIX_FRAMES = 128  # frames per payload
+WAV_FIX_CH = 2        # stereo → 256 interleaved samples
+WAV_FIX_RATE = 8000
+WAV_FIX_N = 64        # fixture rows (doc_id < N)
+
+
+def _wav_header(n_samples: int, n_channels: int, rate: int) -> bytes:
+    data_bytes = n_samples * 2  # 16-bit PCM
+    block = n_channels * 2
+    return (
+        b"RIFF"
+        + (36 + data_bytes).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + n_channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")  # byte rate
+        + block.to_bytes(2, "little")           # block align
+        + (16).to_bytes(2, "little")            # bits/sample
+        + b"data"
+        + data_bytes.to_bytes(4, "little")
+    )
+
+
+def wav_fixture_media(df: DataFrame, n: int = WAV_FIX_N) -> DataFrame:
+    """Deterministic 16-bit stereo PCM payloads whose interleaved sample
+    ``s`` of doc ``d`` is the pure arithmetic function
+    ``((d*131 + s*17) % 65536) - 32768`` — so the REAL ``decode_wav``
+    path's per-channel means (channel = s % 2) are exactly predictable by
+    a SQL oracle (q70) with no audio library on either side. Same
+    executor-side ``mapInPandas`` construction as ``pnm_fixture_media``."""
+    ids = df.select("doc_id").filter(F.col("doc_id") < n)
+    n_samples = WAV_FIX_FRAMES * WAV_FIX_CH
+    header = _wav_header(n_samples, WAV_FIX_CH, WAV_FIX_RATE)
+    s = np.arange(n_samples, dtype=np.int64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                header
+                + (((int(d) * 131 + s * 17) % 65536) - 32768)
+                .astype("<i2")
+                .tobytes()
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio/wav"] * len(payloads),
                     "payload": payloads,
                 }
             )

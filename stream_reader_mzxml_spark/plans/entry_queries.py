@@ -709,6 +709,7 @@ _DRIVER_PRIORITY = [
     "q67_isotope_envelope",
     "q68_diagnostic_report",
     "q69_holdout_split",
+    "q70_wav_codec",
     # tier 3 — last driver-checked in r02
     "q34_nested_precursor_gate",
     "q36_salted_topk",

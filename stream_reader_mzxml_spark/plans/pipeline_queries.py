@@ -1338,3 +1338,53 @@ def q66_sequence_manifest(spark, sf_dir):
 )
 def q69_holdout_split(spark, sf_dir):
     return curation.holdout_split(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q70 — the REAL WAV codec, driver-green (the audio sibling of q31b):
+# deterministic 16-bit stereo RIFF/PCM payloads (interleaved sample s of doc
+# d = ((d*131 + s*17) % 65536) - 32768, built executor-side in mapInPandas)
+# flow through featurize(decode_stub=False) → decode_wav — and the oracle
+# predicts the decoded per-channel means ANALYTICALLY (channel = s % 2), no
+# audio library on either engine. Same rendering/rounding conventions as
+# q31b (';'-joined %.6f, Python round ↔ round_even on exact k/128 means).
+# ---------------------------------------------------------------------------
+_Q70_SAMPLES = multimodal.WAV_FIX_FRAMES * multimodal.WAV_FIX_CH
+
+
+@_register(
+    "q70_wav_codec",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {multimodal.WAV_FIX_N}
+    ),
+    sam AS (
+      SELECT i.doc_id, u.s,
+             ((i.doc_id * 131 + u.s * 17) % 65536) - 32768 AS v
+      FROM ids i CROSS JOIN (
+        SELECT unnest(generate_series(0, {_Q70_SAMPLES - 1})) AS s
+      ) u
+    ),
+    ch AS (
+      SELECT doc_id, s % {multimodal.WAV_FIX_CH} AS c,
+             round_even(avg(v), 6) AS m
+      FROM sam GROUP BY doc_id, s % {multimodal.WAV_FIX_CH}
+    )
+    SELECT doc_id, 'audio/wav' AS media_type,
+           {44 + _Q70_SAMPLES * 2} AS n_bytes,
+           string_agg(printf('%.6f', m), ';' ORDER BY c)
+             || ';0.000000;0.000000' AS feature_str
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q70_wav_codec(spark, sf_dir):
+    media = multimodal.wav_fixture_media(_t(spark, sf_dir, "documents"))
+    feat = multimodal.featurize(media, decode_stub=False)
+    return feat.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
+        ).alias("feature_str"),
+    )

@@ -1373,3 +1373,83 @@ class TestHoldoutSplit:
         got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
         exp = sorted(map(tuple, holdout_split(df).collect()))
         assert got == exp
+
+
+class TestWavCodec:
+    """decode_wav goldens: hand-built RIFF/PCM payloads, no audio library."""
+
+    @staticmethod
+    def _wav(samples, n_channels=1, bits=16, rate=8000, fmt=1, extra_chunk=False):
+        import struct
+
+        if bits == 16:
+            data = b"".join(struct.pack("<h", v) for v in samples)
+        else:
+            data = bytes(samples)
+        block = n_channels * bits // 8
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt, n_channels, rate, rate * block, block, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        if extra_chunk:  # odd-sized chunk before data: exercises pad-byte walk
+            chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_decode_wav_golden_stereo16(self):
+        # 3 frames, 2 channels interleaved: ch0 = (100, -200, 300) mean 66.67,
+        # ch1 = (-1000, 2000, 3000) mean 1333.33
+        buf = self._wav([100, -1000, -200, 2000, 300, 3000], n_channels=2)
+        samples, rate = multimodal.decode_wav(buf)
+        assert rate == 8000 and samples.shape == (3, 2)
+        assert samples[:, 0].tolist() == [100.0, -200.0, 300.0]
+        assert samples[:, 1].tolist() == [-1000.0, 2000.0, 3000.0]
+        assert multimodal._wav_feature(buf) == [
+            round(200 / 3, 6), round(4000 / 3, 6), 0.0, 0.0,
+        ]
+
+    def test_decode_wav_8bit_mono_and_chunk_padding(self):
+        # 8-bit unsigned centers at 128; odd-sized LIST chunk must be skipped
+        buf = self._wav([128, 130, 126, 128], bits=8, extra_chunk=True)
+        samples, _ = multimodal.decode_wav(buf)
+        assert samples.reshape(-1).tolist() == [0.0, 2.0, -2.0, 0.0]
+
+    def test_decode_wav_rejects_bad_payloads(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(b"not audio")
+        with pytest.raises(ValueError, match="non-PCM"):
+            multimodal.decode_wav(self._wav([0, 0], fmt=3))
+        trunc = self._wav([1, 2, 3, 4])[:-3]
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(trunc)
+
+    def test_featurize_real_wav_decode(self, spark):
+        pay = self._wav([100, -1000, -200, 2000, 300, 3000], n_channels=2)
+        media = spark.createDataFrame(
+            [
+                (1, "audio/wav", bytearray(pay), (len(pay), 0, 0)),
+                (2, "audio/wav", None, (0, 0, 0)),
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+        got = {
+            r.doc_id: r
+            for r in multimodal.featurize(media, decode_stub=False).collect()
+        }
+        assert got[1].feature == multimodal._wav_feature(pay)
+        assert got[2].feature is None
+
+    def test_wav_fixture_roundtrip(self, spark):
+        # the q70 fixture's payloads really decode to the analytic means
+        docs = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        rows = multimodal.wav_fixture_media(docs, n=3).collect()
+        assert len(rows) == 3
+        for r in rows:
+            samples, rate = multimodal.decode_wav(bytes(r.payload))
+            assert rate == multimodal.WAV_FIX_RATE
+            assert samples.shape == (
+                multimodal.WAV_FIX_FRAMES, multimodal.WAV_FIX_CH,
+            )
+            s = np.arange(samples.size, dtype=np.int64)
+            exp = ((r.doc_id * 131 + s * 17) % 65536) - 32768
+            assert samples.reshape(-1).tolist() == exp.astype(float).tolist()
