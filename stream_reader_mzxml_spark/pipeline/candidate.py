@@ -312,3 +312,88 @@ def candidate_ions(spark, emb: DataFrame, spread: bool = False) -> DataFrame:
         "ion_id",
         "fragments",
     )
+
+
+# ---------------------------------------------------------------------------
+# MainGlucosinolates over REAL variable-length spectra (round 5)
+# ---------------------------------------------------------------------------
+
+
+def glucosinolate_candidates(
+    spectra: DataFrame,
+    min_intensity: float = 7500.0,
+    delta_mp0_mp2: float = 1.9958,
+    precision_mz: float = 0.0001,
+    carbon_min: float = 3.0,
+    carbon_max: float = 35.0,
+    sulfur_min: float = 1.5,
+    sulfur_max: float = 5.0,
+) -> DataFrame:
+    """``MainGlucosinolates.processSpectrum`` (:163-191) at the REFERENCE
+    defaults, over a spectra frame with VARIABLE-length peak arrays.
+
+    Unlike q45 (which runs a re-scaled variant on the fixed-width synthetic
+    spectra), this is the program verbatim: candidate peaks are those above
+    ``minIntensity`` (:165); each probes the FULL unfiltered peak list for
+    the nearest m/z to mz0+1.0 and mz0+deltaMp0Mp2 (:168-169,
+    Spectrum.scala:39-41 ``minBy`` = first argmin); the M2-offset gate
+    (:173) and the C/S abundance envelope (:181-191) keep the survivors,
+    emitted as (rt, M0, M1, M2) rows sorted by −M0_mz (:133).
+
+    Input: ``(num, rt, peaks array<struct<mz,intensity>>)`` — e.g. the real
+    mzXML ingest (``sources.mzxml``) with
+    ``arrays_zip(mz, intensity)``-formed peaks. All expression-level: one
+    scan projection + one explode, no shuffle before the final sort.
+    """
+    from stream_reader_mzxml_spark.functions.chem import ABUNDANCE_ISOTOPE
+
+    ab_c1 = ABUNDANCE_ISOTOPE["C"][1]
+    ab_s2 = ABUNDANCE_ISOTOPE["S"][2]
+    peaks = F.col("peaks")
+    kept = F.filter(peaks, lambda p: p["intensity"] > F.lit(min_intensity))
+
+    def nearest(d):
+        return F.aggregate(
+            peaks,
+            F.element_at(peaks, 1),
+            lambda acc, p: F.when(
+                F.abs(p["mz"] - d) < F.abs(acc["mz"] - d), p
+            ).otherwise(acc),
+        )
+
+    probed = F.transform(
+        kept,
+        lambda x: F.struct(
+            x.alias("p0"),
+            nearest(x["mz"] + F.lit(1.0)).alias("p1"),
+            nearest(x["mz"] + F.lit(delta_mp0_mp2)).alias("p2"),
+        ),
+    )
+
+    def passes(t):
+        mz0, int0 = t["p0"]["mz"], t["p0"]["intensity"]
+        int1, int2 = t["p1"]["intensity"], t["p2"]["intensity"]
+        return (
+            (F.abs(t["p2"]["mz"] - mz0 - F.lit(delta_mp0_mp2)) < F.lit(precision_mz))
+            & (int1 >= int0 * F.lit(ab_c1 * carbon_min))
+            & (int1 < int0 * F.lit(ab_c1 * carbon_max))
+            & (int2 >= int0 * F.lit(ab_s2 * sulfur_min))
+            & (int2 < int0 * F.lit(ab_s2 * sulfur_max))
+        )
+
+    return (
+        spectra.select(
+            F.col("rt").cast("double").alias("rt"),
+            F.explode(F.filter(probed, passes)).alias("t"),
+        )
+        .select(
+            "rt",
+            F.col("t.p0.mz").alias("m0_mz"),
+            F.col("t.p0.intensity").alias("m0_intensity"),
+            F.col("t.p1.mz").alias("m1_mz"),
+            F.col("t.p1.intensity").alias("m1_intensity"),
+            F.col("t.p2.mz").alias("m2_mz"),
+            F.col("t.p2.intensity").alias("m2_intensity"),
+        )
+        .orderBy(F.col("m0_mz").desc())
+    )

@@ -1,0 +1,236 @@
+"""Real mzXML file ingestion: batch XML scan → Spectrum rows → decoded peaks.
+
+Closes the last fidelity gap between the engine and the reference: until
+round 5 the S7 decode kernel was only exercised on synthetic packed blobs;
+this module parses ACTUAL instrument files (the reference's two public test
+fixtures) end-to-end through the same Spectrum schema the reference's
+``ScanOrigin`` reader produces.
+
+Reference parity map:
+- scan attribute extraction          → ``MzXMLTags.scala:360-420`` (ScanOrigin)
+- precursorMz child elements         → ``MzXMLTags.scala:334-356`` (PrecursorMz)
+- peaks attrs (compression/precision)→ ``MzXMLTags.scala:240-270`` (Peaks)
+- retentionTime → truncated seconds  → ``MzXMLTags.scala:43-44,398`` (S9,
+  re-used here as the existing ``iso_duration_seconds`` column expr)
+- packed-peak decode + zero pruning  → ``MzXMLTags.scala:284-327`` (S7/S8,
+  re-used here as the existing ``decode_peaks_udf`` Arrow kernel)
+- msLevel(n) request                 → ``SpectrumRequest.scala:18-30``
+- precursorMz(mz, intensityMin, ppm) → ``SpectrumRequest.scala:40-57``
+
+Scale design (100 TB): ingest parallelism is per-FILE — the paths DataFrame
+is repartitioned so each task streams one file through ``iterparse`` with
+O(one scan) resident memory (elements are cleared as they close). Raw peak
+byte-strings stay executor-side end to end: parse emits the base64 text,
+``decode_peaks_udf`` inflates it Arrow-batch-wise, and nothing but the final
+projected columns ever moves. A directory of N mzXML files therefore scans
+at min(N, tasks) parallelism with zero shuffle before the first aggregation
+— identical shape to the parquet/Iceberg scan path in ``readers.py``.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.kernels import decode_peaks_udf
+from ..functions.scalars import iso_duration_seconds, ppm_ok
+
+# Spectrum row schema — the columnar form of the reference's case class
+# Spectrum.scala:8-44 (subset: every field its test programs consume).
+SPECTRUM_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("scan_num", T.IntegerType(), True),
+        T.StructField("ms_level", T.IntegerType(), True),
+        T.StructField("peaks_count", T.IntegerType(), True),
+        T.StructField("polarity", T.StringType(), True),
+        T.StructField("scan_type", T.StringType(), True),
+        T.StructField("filter_line", T.StringType(), True),
+        T.StructField("retention_time", T.StringType(), True),
+        T.StructField("collision_energy", T.DoubleType(), True),
+        T.StructField("low_mz", T.DoubleType(), True),
+        T.StructField("high_mz", T.DoubleType(), True),
+        T.StructField("base_peak_mz", T.DoubleType(), True),
+        T.StructField("base_peak_intensity", T.DoubleType(), True),
+        T.StructField("tot_ion_current", T.DoubleType(), True),
+        T.StructField(
+            "precursor",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("value", T.DoubleType(), True),
+                        T.StructField("precursor_intensity", T.DoubleType(), True),
+                        T.StructField("precursor_charge", T.IntegerType(), True),
+                        T.StructField("activation_method", T.StringType(), True),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("peaks_b64", T.StringType(), True),
+        T.StructField("precision", T.IntegerType(), True),
+        T.StructField("compression_zlib", T.BooleanType(), True),
+    ]
+)
+
+
+def _local(tag: str) -> str:
+    """Namespace-agnostic local tag name (mzXML 2.x/3.x use different URIs)."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _fattr(elem, name: str):
+    v = elem.get(name)
+    return float(v) if v is not None else None
+
+
+def _iattr(elem, name: str):
+    v = elem.get(name)
+    return int(v) if v is not None else None
+
+
+def _scan_row(path: str, elem) -> dict:
+    """One <scan> element → one Spectrum dict (ScanOrigin semantics).
+
+    Direct children only — mzXML nests MS2 <scan>s inside their MS1 parent in
+    some writers; nested scans close (and are rowed) before their parent, so
+    the parent must not re-absorb the child's <peaks>/<precursorMz>.
+    """
+    precursor = []
+    peaks_b64 = None
+    precision = None
+    compression = None
+    for child in elem:
+        t = _local(child.tag)
+        if t == "precursorMz":
+            txt = (child.text or "").strip()
+            precursor.append(
+                {
+                    "value": float(txt) if txt else None,
+                    "precursor_intensity": _fattr(child, "precursorIntensity"),
+                    "precursor_charge": _iattr(child, "precursorCharge"),
+                    "activation_method": child.get("activationMethod"),
+                }
+            )
+        elif t == "peaks" and peaks_b64 is None:
+            # reference: "suppose that a scan have only one peak tag"
+            # (Spectrum.scala:70) — first <peaks> wins.
+            peaks_b64 = (child.text or "").strip()
+            precision = _iattr(child, "precision")
+            compression = child.get("compressionType") == "zlib"
+    return {
+        "path": path,
+        "scan_num": _iattr(elem, "num"),
+        "ms_level": _iattr(elem, "msLevel"),
+        "peaks_count": _iattr(elem, "peaksCount"),
+        "polarity": elem.get("polarity"),
+        "scan_type": elem.get("scanType"),
+        "filter_line": elem.get("filterLine"),
+        "retention_time": elem.get("retentionTime"),
+        "collision_energy": _fattr(elem, "collisionEnergy"),
+        "low_mz": _fattr(elem, "lowMz"),
+        "high_mz": _fattr(elem, "highMz"),
+        "base_peak_mz": _fattr(elem, "basePeakMz"),
+        "base_peak_intensity": _fattr(elem, "basePeakIntensity"),
+        "tot_ion_current": _fattr(elem, "totIonCurrent"),
+        "precursor": precursor,
+        "peaks_b64": peaks_b64,
+        "precision": precision,
+        "compression_zlib": compression,
+    }
+
+
+def parse_mzxml_file(path: str) -> Iterator[dict]:
+    """Stream one mzXML file scan-by-scan with bounded memory.
+
+    ``iterparse`` end-events fire innermost-first, so nested MS2 scans are
+    emitted before their MS1 parent (same visit order as the reference's
+    fs2-data event stream, XmlStreamRequest.scala:17-27). Each scan element
+    is cleared once rowed, keeping residency at O(largest single scan).
+    """
+    for _event, elem in ET.iterparse(path, events=("end",)):
+        if _local(elem.tag) == "scan":
+            yield _scan_row(path, elem)
+            # Free the scan's subtree. The element husk stays in its
+            # parent's child list, but with no attributes it can never be
+            # mistaken for payload when the parent closes.
+            elem.clear()
+
+
+def _parse_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows: list[dict] = []
+    for pdf in batches:
+        for path in pdf["path"]:
+            for row in parse_mzxml_file(path):
+                rows.append(row)
+                if len(rows) >= 512:
+                    yield pd.DataFrame(rows)
+                    rows = []
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def read_mzxml(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Batch-ingest mzXML files into Spectrum rows (peaks still packed).
+
+    One task per file (``repartition(len(paths))``); at directory scale the
+    path list comes from a catalog listing and the same plan fans out to
+    every executor. The heavy decode is deferred to :func:`decode_spectra`
+    so msLevel/precursor filters prune BEFORE any base64/zlib work — the
+    columnar analog of the reference's XPath subtree filter (S4).
+    """
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    return pdf.repartition(max(len(paths), 1)).mapInPandas(
+        _parse_partition, schema=SPECTRUM_SCHEMA
+    )
+
+
+def decode_spectra(df: DataFrame) -> DataFrame:
+    """Decode packed peaks → (mz, intensity) arrays + rt seconds column.
+
+    Re-uses the S7 Arrow kernel (``decode_peaks_udf``) and the S9 duration
+    scalar — the real-file path and the synthetic-fixture path share one
+    decode implementation, so the MzXMLTagsTest goldens pin both.
+    """
+    dec = decode_peaks_udf(
+        F.col("peaks_b64"), F.col("precision"), F.col("compression_zlib")
+    )
+    return (
+        df.withColumn("_dec", dec)
+        .withColumn("mz", F.col("_dec.mz"))
+        .withColumn("intensity", F.col("_dec.intensity"))
+        .withColumn("rt_seconds", iso_duration_seconds(F.col("retention_time")))
+        .drop("_dec")
+    )
+
+
+def ms_level(df: DataFrame, num: int) -> DataFrame:
+    """``SpectrumRequest.msLevel(num)`` — SpectrumRequest.scala:18-30."""
+    return df.filter(F.col("ms_level") == F.lit(num))
+
+
+def precursor_mz_match(
+    df: DataFrame,
+    mz: float,
+    precursor_intensity_min: float = 100.0,
+    ppm_precision: float = 5.0,
+) -> DataFrame:
+    """``SpectrumRequest.precursorMz`` — SpectrumRequest.scala:40-57.
+
+    Keeps scans having ≥1 precursor whose value is within ``ppm_precision``
+    of ``mz`` (m0 = the query mass, matching precisionTest's asymmetry,
+    SpectrumRequest.scala:15-16) AND whose intensity attribute is present
+    and > ``precursor_intensity_min``.
+    """
+    pred = F.exists(
+        F.col("precursor"),
+        lambda p: ppm_ok(F.lit(float(mz)), p["value"], ppm_precision)
+        & p["precursor_intensity"].isNotNull()
+        & (p["precursor_intensity"] > F.lit(float(precursor_intensity_min))),
+    )
+    return df.filter((F.size("precursor") > 0) & pred)

@@ -1,0 +1,332 @@
+"""Real-file fidelity: ingest the reference's two public instrument fixtures.
+
+The engine's S2-S8 chain (XML scan extraction → Spectrum schema → packed-peak
+decode) is proven here on ACTUAL mzXML files — the same two fixtures the
+reference's own tests run on (MzXMLTagsTest.scala:230-261,
+SpectrumRequestTest.scala:10-30):
+
+- ``LTQ_Orbitrap_precision32.mzXML``      — 99 scans, zlib, BE float32
+- ``Orbitrap_Exploris_240_precision64.mzXML`` — 14 scans, zlib, BE float64
+
+The oracle is an INDEPENDENT in-test parser: ``xml.dom.minidom`` (vs the
+package's ``iterparse``) and ``struct.unpack`` (vs the package's
+``numpy.frombuffer``), so a shared bug cannot self-verify. The per-row
+invariant is exact (mz, intensity) array equality — the graft's
+"token-array equality" invariant applied to the reference's native payload.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+import zlib
+from xml.dom import minidom
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_reader_mzxml_spark.sources.mzxml import (
+    decode_spectra,
+    ms_level,
+    precursor_mz_match,
+    read_mzxml,
+)
+
+_RES = "/root/reference/src/test/resources"
+LTQ = f"{_RES}/LTQ_Orbitrap_precision32.mzXML"
+EXPLORIS = f"{_RES}/Orbitrap_Exploris_240_precision64.mzXML"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(LTQ) and os.path.exists(EXPLORIS)),
+    reason="reference fixture files not present",
+)
+
+
+# ---------------------------------------------------------------------------
+# independent oracle (minidom + struct — deliberately NOT the package's path)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_decode(b64: str, precision: int) -> tuple[list, list]:
+    raw = zlib.decompress(base64.b64decode(b64))
+    fmt = ">%d%s" % (len(raw) // (4 if precision == 32 else 8), "f" if precision == 32 else "d")
+    vals = struct.unpack(fmt, raw)
+    pairs = [(float(vals[i]), float(vals[i + 1])) for i in range(0, len(vals), 2)]
+    pairs = [p for p in pairs if p[1] > 0]  # MzXMLTags.scala:326 zero pruning
+    return [p[0] for p in pairs], [p[1] for p in pairs]
+
+
+def _oracle_scans(path: str) -> list[dict]:
+    doc = minidom.parse(path)
+    out = []
+    for scan in doc.getElementsByTagName("scan"):
+        peaks = None
+        precursors = []
+        for ch in scan.childNodes:
+            if ch.nodeType != ch.ELEMENT_NODE:
+                continue
+            if ch.tagName == "peaks" and peaks is None:
+                peaks = ch
+            elif ch.tagName == "precursorMz":
+                precursors.append(
+                    {
+                        "value": float(ch.firstChild.data.strip()),
+                        "intensity": (
+                            float(ch.getAttribute("precursorIntensity"))
+                            if ch.hasAttribute("precursorIntensity")
+                            else None
+                        ),
+                    }
+                )
+        precision = int(peaks.getAttribute("precision"))
+        b64 = "".join(
+            n.data for n in peaks.childNodes if n.nodeType == n.TEXT_NODE
+        ).strip()
+        mz, inten = _oracle_decode(b64, precision)
+        rt = scan.getAttribute("retentionTime")  # always PT<sec>S in mzXML
+        out.append(
+            {
+                "scan_num": int(scan.getAttribute("num")),
+                "ms_level": int(scan.getAttribute("msLevel")),
+                "peaks_count": int(scan.getAttribute("peaksCount")),
+                "rt_seconds": int(float(rt[2:-1])),  # truncate, ref getSeconds
+                "mz": mz,
+                "intensity": inten,
+                "precursors": precursors,
+            }
+        )
+    return out
+
+
+def _oracle_precursor_match(scans, mz, intensity_min, ppm=5.0):
+    """SpectrumRequest.scala:40-57 re-derived from the Scala, not our code."""
+    keep = []
+    for s in scans:
+        if not s["precursors"]:
+            continue
+        for p in s["precursors"]:
+            if (
+                abs((mz - p["value"]) / mz) * 1e6 <= ppm
+                and p["intensity"] is not None
+                and p["intensity"] > intensity_min
+            ):
+                keep.append(s["scan_num"])
+                break
+    return sorted(keep)
+
+
+@pytest.fixture(scope="module")
+def oracle_ltq():
+    return _oracle_scans(LTQ)
+
+
+@pytest.fixture(scope="module")
+def oracle_exploris():
+    return _oracle_scans(EXPLORIS)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark):
+    df = decode_spectra(read_mzxml(spark, [LTQ, EXPLORIS])).cache()
+    yield df
+    df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+class TestMzXMLIngest:
+    def test_scan_counts(self, ingested):
+        counts = {
+            os.path.basename(r["path"]): r["n"]
+            for r in ingested.groupBy("path").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {
+            "LTQ_Orbitrap_precision32.mzXML": 99,
+            "Orbitrap_Exploris_240_precision64.mzXML": 14,
+        }
+
+    def test_peak_arrays_equal_oracle_row_for_row(
+        self, ingested, oracle_ltq, oracle_exploris
+    ):
+        """The graft's per-row array-equality invariant on real payloads."""
+        for path, oracle in ((LTQ, oracle_ltq), (EXPLORIS, oracle_exploris)):
+            got = {
+                r["scan_num"]: r
+                for r in ingested.filter(F.col("path") == path)
+                .select("scan_num", "mz", "intensity", "peaks_count", "rt_seconds")
+                .collect()
+            }
+            assert len(got) == len(oracle)
+            for o in oracle:
+                g = got[o["scan_num"]]
+                assert list(g["mz"]) == o["mz"], f"mz mismatch scan {o['scan_num']}"
+                assert list(g["intensity"]) == o["intensity"]
+                assert g["peaks_count"] == o["peaks_count"]
+                assert g["rt_seconds"] == o["rt_seconds"]
+
+    def test_declared_count_invariant(self, ingested, oracle_ltq, oracle_exploris):
+        """decoded length == declared peaksCount (MzXMLTagsTest.scala:254)
+        wherever the scan has no zero-intensity pairs — and the zero-pruned
+        deficit matches the oracle exactly elsewhere."""
+        rows = ingested.select(
+            "path", "scan_num", "peaks_count", F.size("mz").alias("n_dec")
+        ).collect()
+        oracle = {
+            (LTQ, o["scan_num"]): o for o in oracle_ltq
+        } | {(EXPLORIS, o["scan_num"]): o for o in oracle_exploris}
+        exact = 0
+        for r in rows:
+            o = oracle[(r["path"], r["scan_num"])]
+            assert r["n_dec"] == len(o["mz"])
+            if r["n_dec"] == r["peaks_count"]:
+                exact += 1
+        assert exact > 0  # the golden case actually occurs on real data
+
+    def test_ltq_scan2_goldens(self, ingested, oracle_ltq):
+        """MzXMLTagsTest-style pins on the real file's scan 2: declared
+        count == decoded, first pair == oracle, rt truncated (PT1.0388S→1)."""
+        r = (
+            ingested.filter((F.col("path") == LTQ) & (F.col("scan_num") == 2))
+            .select("peaks_count", "mz", "intensity", "rt_seconds", "ms_level")
+            .first()
+        )
+        o = next(s for s in oracle_ltq if s["scan_num"] == 2)
+        assert r["peaks_count"] == 17
+        assert len(r["mz"]) == len(o["mz"])
+        assert abs(r["mz"][0] - o["mz"][0]) < 1e-12
+        assert abs(r["intensity"][0] - o["intensity"][0]) < 1e-12
+        assert r["rt_seconds"] == 1
+        assert r["ms_level"] == 2
+
+    def test_ms_level_request(self, ingested):
+        """SpectrumRequestTest 'msLevel 2' (SpectrumRequestTest.scala:22-30):
+        grep-pinned populations of both fixtures."""
+        assert ms_level(ingested.filter(F.col("path") == EXPLORIS), 2).count() == 9
+        assert ms_level(ingested.filter(F.col("path") == LTQ), 2).count() == 74
+        assert ms_level(ingested.filter(F.col("path") == LTQ), 1).count() == 25
+
+    def test_precursor_mz_request_matches_oracle(self, ingested, oracle_ltq):
+        """SpectrumRequestTest 'precursorMz' (SpectrumRequestTest.scala:10-20)
+        — the exact reference call (288.93, 9000), plus a parameterization
+        chosen to be non-empty so the equality is not vacuous."""
+        ltq = ingested.filter(F.col("path") == LTQ)
+        for mz, imin in ((288.93, 9000.0), (288.935028076172, 100.0)):
+            got = sorted(
+                r["scan_num"]
+                for r in precursor_mz_match(ltq, mz, imin).select("scan_num").collect()
+            )
+            assert got == _oracle_precursor_match(oracle_ltq, mz, imin)
+        nonempty = _oracle_precursor_match(oracle_ltq, 288.935028076172, 100.0)
+        assert len(nonempty) > 0
+
+    def test_float64_path_distinct_values(self, ingested, oracle_exploris):
+        """precision-64 branch: values decode at full double width (would
+        fail if the f32 branch were applied to the Exploris file)."""
+        r = (
+            ingested.filter((F.col("path") == EXPLORIS))
+            .orderBy("scan_num")
+            .select("mz", "precision")
+            .first()
+        )
+        assert r["precision"] == 64
+        o = min(oracle_exploris, key=lambda s: s["scan_num"])
+        assert list(r["mz"])[:5] == o["mz"][:5]
+
+
+# ---------------------------------------------------------------------------
+# the reference PROGRAM (MainGlucosinolates) end-to-end on the real file
+# ---------------------------------------------------------------------------
+
+
+def _oracle_glucosinolates(
+    scans,
+    min_intensity=7500.0,
+    delta=1.9958,
+    precision_mz=0.0001,
+    c_min=3.0,
+    c_max=35.0,
+    s_min=1.5,
+    s_max=5.0,
+):
+    """processSpectrum + isValidIsotope re-derived from
+    MainGlucosinolates.scala:163-191 (independent of the package)."""
+    AB_C1, AB_S2 = 0.0108, 0.0444
+    out = []
+    for s in scans:
+        if s["ms_level"] != 1:
+            continue
+        pairs = list(zip(s["mz"], s["intensity"]))
+        for mz0, int0 in pairs:
+            if int0 <= min_intensity:
+                continue
+            mz1, int1 = min(pairs, key=lambda p: abs(p[0] - (mz0 + 1.0)))
+            mz2, int2 = min(pairs, key=lambda p: abs(p[0] - (mz0 + delta)))
+            if (
+                abs(mz2 - mz0 - delta) < precision_mz
+                and int0 * (AB_C1 * c_min) <= int1 < int0 * (AB_C1 * c_max)
+                and int0 * AB_S2 * s_min <= int2 < int0 * AB_S2 * s_max
+            ):
+                out.append(
+                    (float(s["rt_seconds"]), mz0, int0, mz1, int1, mz2, int2)
+                )
+    return sorted(out, key=lambda r: -r[1])
+
+
+class TestGlucosinolateProgramOnRealFile:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},  # the reference's exact Config defaults
+            # relaxed gates so the truncated 99-scan fixture yields rows —
+            # the equality against the oracle must not be vacuously empty
+            {"min_intensity": 200.0, "precision_mz": 0.35, "sulfur_min": 0.0,
+             "sulfur_max": 1e9, "carbon_min": 0.0, "carbon_max": 1e9},
+        ],
+    )
+    def test_matches_oracle(self, spark, ingested, oracle_ltq, kw):
+        from stream_reader_mzxml_spark.pipeline.candidate import (
+            glucosinolate_candidates,
+        )
+
+        spectra = (
+            ingested.filter((F.col("path") == LTQ) & (F.col("ms_level") == 1))
+            .select(
+                F.col("scan_num").alias("num"),
+                F.col("rt_seconds").cast("double").alias("rt"),
+                F.arrays_zip(
+                    F.col("mz").alias("mz"), F.col("intensity").alias("intensity")
+                ).alias("peaks"),
+            )
+        )
+        got = [
+            (
+                r["rt"], r["m0_mz"], r["m0_intensity"], r["m1_mz"],
+                r["m1_intensity"], r["m2_mz"], r["m2_intensity"],
+            )
+            for r in glucosinolate_candidates(spectra, **{
+                "min_intensity": kw.get("min_intensity", 7500.0),
+                "precision_mz": kw.get("precision_mz", 0.0001),
+                "carbon_min": kw.get("carbon_min", 3.0),
+                "carbon_max": kw.get("carbon_max", 35.0),
+                "sulfur_min": kw.get("sulfur_min", 1.5),
+                "sulfur_max": kw.get("sulfur_max", 5.0),
+            }).collect()
+        ]
+        want = _oracle_glucosinolates(
+            oracle_ltq,
+            min_intensity=kw.get("min_intensity", 7500.0),
+            precision_mz=kw.get("precision_mz", 0.0001),
+            c_min=kw.get("carbon_min", 3.0),
+            c_max=kw.get("carbon_max", 35.0),
+            s_min=kw.get("sulfur_min", 1.5),
+            s_max=kw.get("sulfur_max", 5.0),
+        )
+        # compare as multisets (global sort ties on equal m0_mz are unordered)
+        assert sorted(got) == sorted(want)
+        if kw:  # the relaxed parameterization must be non-empty
+            assert len(want) > 0
