@@ -265,9 +265,20 @@ def rechunk_tables(
     out = os.path.join(
         out_base or CACHE_DIR, f"rechunk_{os.path.basename(sf_dir.rstrip('/'))}"
     )
+    # cache key = (max_files, per-source-file mtime+size): regenerated
+    # fixtures or a different chunking request invalidate the cache instead
+    # of silently serving stale data (r4 ADVICE)
+    sig_parts = [f"max_files={max_files}"]
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, fn))
+            sig_parts.append(f"{fn}:{st.st_mtime_ns}:{st.st_size}")
+    sig = "\n".join(sig_parts)
     marker = os.path.join(out, "_rechunk_done")
     if os.path.exists(marker):
-        return out, 0.0
+        with open(marker) as fh:
+            if fh.read() == sig:
+                return out, 0.0
     t0 = time.perf_counter()
     if os.path.exists(out):
         shutil.rmtree(out)
@@ -292,7 +303,7 @@ def rechunk_tables(
             pq.write_table(t.slice(i * step, step), os.path.join(dst, f"part-{i:04d}.parquet"))
     build = time.perf_counter() - t0
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(sig)
     return out, round(build, 3)
 
 

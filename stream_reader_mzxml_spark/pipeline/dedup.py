@@ -533,9 +533,11 @@ def connected_components(
             break
         prev_sig = sig
     if stats is not None:
-        # observability for scale-shape evidence: rounds vs graph diameter
+        # observability for scale-shape evidence: rounds vs graph diameter.
+        # `sig` is the LAST COMPUTED edge count — meaningful evidence even on
+        # the non-convergence raise path (r4 ADVICE; prev_sig lagged a round)
         stats["rounds"] = rounds
-        stats["final_edges"] = prev_sig[0] if prev_sig else 0
+        stats["final_edges"] = sig[0] if rounds else 0
     if not converged:
         # A non-star edge set here would make dedup_apply keep/drop the
         # WRONG docs downstream — fail loudly rather than return it.

@@ -692,55 +692,55 @@ ORACLES.update(REPORT_ORACLES)
 #    CORRECTNESS_r4 covers them; the tail (positions 50+) is exclusively
 #    queries already driver-green in r01+r02+r03 (q01-q17).
 # ---------------------------------------------------------------------------
+# Round-5 change (r4 ADVICE): retirees move to a SECONDARY registry instead
+# of vanishing — `tools/check_oracle.py --retired` can still value-gate them
+# locally, they just don't consume one of the driver's 50 battery slots.
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLES: dict = {}
 for _retired in ("q28_embedding_neardup", "q35_candidate_ions", "q43_sketch_stats"):
-    QUERIES.pop(_retired, None)
-    ORACLES.pop(_retired, None)
+    if _retired in QUERIES:
+        RETIRED_QUERIES[_retired] = QUERIES.pop(_retired)
+    if _retired in ORACLES:
+        RETIRED_ORACLES[_retired] = ORACLES.pop(_retired)
 
+# Round-5 rotation (VERDICT r4 item 2): the driver checks positions 0-49, so
+# the 19 entries whose last driver row is r03 (q01-q17, q32, q33) move to the
+# FRONT; round-5 additions come next (never checked); the r04-fresh tiers
+# rotate to the tail. Result: after r05 every battery entry has a driver
+# correctness row at most two rounds old.
 _DRIVER_PRIORITY = [
-    # tier 1 — registered but never driver-checked (local oracle green in r3)
-    "q43b_sketch_bounds",
-    "q45_glucosinolates",
-    "q46_database_ions",
-    "q47_gluco_delta_stats",
-    "q62_training_manifest",
-    "q66_sequence_manifest",
-    # tier 2 — new in round 4
-    "q31b_pnm_codec",
-    "q67_isotope_envelope",
-    "q68_diagnostic_report",
-    "q69_holdout_split",
-    "q70_wav_codec",
-    # tier 3 — last driver-checked in r02
-    "q34_nested_precursor_gate",
-    "q36_salted_topk",
-    "q37_unigram_perplexity",
-    "q38_quantiles",
-    "q39_candidate_ions_fused",
-    "q40_repetition",
-    "q41_pii_patterns",
-    "q42_corpus_curation",
-    "q44_precursor_match_scores",
-    # tier 4 — r03-checked; includes every query touched by the round-4
-    # scale-correctness fixes (q50/q54/q57/q60/q63)
-    "q48_decontamination", "q49_ivf_ann_topk", "q50_domain_caps",
-    "q51_segment_dedup", "q52_context_chunks", "q53_source_drift",
-    "q54_dedup_clusters", "q55_dedup_apply", "q56_tfidf",
-    "q57_mixture_sample", "q58_sequence_packing", "q59_pii_redact",
-    "q60_kmeans_step", "q61_bpe_pair_counts", "q63_kmeans_iterated",
-    "q64_segment_dedup_apply", "q65_epoch_order",
-    # tier 5 — r03-checked r1/r2-era operators
-    "q18_ppm_filter", "q19_duration_seconds", "q20_token_counts",
-    "q21_quality_scores", "q22_lang_id", "q23_fingerprint",
-    "q24_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh",
-    "q27_simhash", "q29_cosine_topk", "q30_lsh_ann_topk",
-    "q31_multimodal_features", "q32_isotope_match", "q33_band_score",
-    # tail (positions 50+) — driver-green in ALL of r01/r02/r03
+    # tier 1 — last driver-checked in r03 (positions 50+ during r04)
     "q01_pricing_summary", "q02_occurrence_topk", "q03_inverse_histogram",
     "q04_threshold_histogram", "q05_rt_gate_asymmetric", "q06_band_semi_join",
     "q07_asof_nearest", "q08_interval_join", "q09_pairwise_diff_topk",
     "q10_sessionize", "q11_tumbling_window", "q12_sliding_window",
     "q13_topk_per_group", "q14_corr_r2", "q15_minmax_by",
     "q16_salted_count", "q17_group_collect",
+    "q32_isotope_match", "q33_band_score",
+    # tier 2 — NEW in round 5 (never driver-checked)
+    # (inserted by the round-5 registration block below, kept explicit here)
+    # tier 3 — checked in r03 AND r04
+    "q18_ppm_filter", "q19_duration_seconds", "q20_token_counts",
+    "q21_quality_scores", "q22_lang_id", "q23_fingerprint",
+    "q24_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh",
+    "q27_simhash", "q29_cosine_topk", "q30_lsh_ann_topk",
+    "q31_multimodal_features",
+    "q48_decontamination", "q49_ivf_ann_topk", "q50_domain_caps",
+    "q51_segment_dedup", "q52_context_chunks", "q53_source_drift",
+    "q54_dedup_clusters", "q55_dedup_apply", "q56_tfidf",
+    "q57_mixture_sample", "q58_sequence_packing", "q59_pii_redact",
+    "q60_kmeans_step", "q61_bpe_pair_counts", "q63_kmeans_iterated",
+    "q64_segment_dedup_apply", "q65_epoch_order",
+    "q34_nested_precursor_gate", "q36_salted_topk",
+    # tail — freshest driver rows (r04): checked last round, re-verified
+    # next rotation
+    "q37_unigram_perplexity", "q38_quantiles", "q39_candidate_ions_fused",
+    "q40_repetition", "q41_pii_patterns", "q42_corpus_curation",
+    "q44_precursor_match_scores",
+    "q43b_sketch_bounds", "q45_glucosinolates", "q46_database_ions",
+    "q47_gluco_delta_stats", "q62_training_manifest", "q66_sequence_manifest",
+    "q31b_pnm_codec", "q67_isotope_envelope", "q68_diagnostic_report",
+    "q69_holdout_split", "q70_wav_codec",
 ]
 
 

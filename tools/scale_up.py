@@ -79,7 +79,10 @@ def scale_documents(out_dir: str, k_reps: int, src: str = SRC) -> int:
             r = list(r)
             r[i_id] = r[i_id] + k * stride
             if k:  # replica 0 is the original corpus byte-for-byte
-                r[i_text] = " ".join(rot[w] for w in r[i_text].split(" "))
+                # rot.get: vocab excludes '' but split(' ') can yield it for
+                # leading/trailing/double spaces — pass such tokens through
+                # unchanged instead of KeyError (r4 ADVICE)
+                r[i_text] = " ".join(rot.get(w, w) for w in r[i_text].split(" "))
             out_rows.append(tuple(r))
     arrs = list(zip(*out_rows))
     schema = tbl.arrow().schema
