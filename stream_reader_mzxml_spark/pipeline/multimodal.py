@@ -4,13 +4,15 @@ Images/audio/video ride as ``binary`` columns with a metadata struct —
 exactly how the reference treats its packed peak blobs (base64 →
 ``MzXMLTags.scala:297-327``): payload stays opaque until a vectorized kernel
 decodes it. The Spark-side plumbing is real and tested — schema, Arrow batch
-shape over ``mapInPandas``, partition-preserving projection — and so are TWO
-codecs: binary PNM images (PGM/PPM, ``decode_pnm``) and RIFF/WAVE PCM audio
-(``decode_wav``) decode in pure numpy, no imaging/audio library required.
-``decode_stub=True`` computes a deterministic fake feature from the raw
-bytes (any media type); ``decode_stub=False`` really decodes PNM and WAV
-payloads and raises ``NotImplementedError`` for media types whose codecs
-(pillow/ffmpeg) this container lacks.
+shape over ``mapInPandas``, partition-preserving projection — and so are
+THREE codecs: binary PNM images (PGM/PPM, ``decode_pnm``), PNG
+(``decode_png``: zlib inflate + all five scanline unfilters, CRC-checked),
+and RIFF/WAVE PCM audio (``decode_wav``) decode in pure numpy, no
+imaging/audio library required. ``decode_stub=True`` computes a
+deterministic fake feature from the raw bytes (any media type);
+``decode_stub=False`` really decodes PNM/PNG/WAV payloads and raises
+``NotImplementedError`` for media types whose codecs (ffmpeg-class) this
+container lacks.
 
 At 100 TB: payload columns dominate scan bytes, so every query that does not
 need them must project them out *before* any shuffle (column pruning does
@@ -211,11 +213,14 @@ def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     elif mt in ("image/ppm", "image/pgm", "image/x-portable-pixmap",
                                 "image/x-portable-graymap"):
                         feats.append(_pnm_feature(b))
+                    elif mt == "image/png":
+                        feats.append(_png_feature(b))
                     elif mt in ("audio/wav", "audio/x-wav", "audio/wave"):
                         feats.append(_wav_feature(b))
                     else:
                         raise NotImplementedError(
-                            f"real decode for {mt} needs pillow/ffmpeg — "
+                            f"real decode for {mt} needs a codec library "
+                            "(e.g. ffmpeg for video/containerized audio) — "
                             "not in this container"
                         )
             yield pd.DataFrame(
@@ -322,6 +327,222 @@ def wav_fixture_media(df: DataFrame, n: int = WAV_FIX_N) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        build, "doc_id long, media_type string, payload binary"
+    )
+
+
+# --- PNG codec (round 5): zlib inflate + scanline unfilter, pure numpy ----
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 3 palette index, 4 gray+A, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL image decode for PNG — no imaging library needed: the container
+    is ``8-byte signature`` + ``<u4 len><4cc type><body><u4 crc>`` chunks;
+    IHDR carries geometry, the concatenated IDAT bodies are one zlib stream
+    of per-scanline ``<filter byte><filtered bytes>`` rows, and the five
+    scanline filters (None/Sub/Up/Average/Paeth) invert sequentially against
+    the prior row/pixel. Supports bit depths 8 and 16, color types
+    0/2/3/4/6 (palette via PLTE), non-interlaced only (Adam7 raises — the
+    fixture and every modern writer default to no interlace).
+
+    Returns ``(pixels, width, height)`` with pixels shaped (height, width,
+    channels) as float64 in native sample units ([0,255] or [0,65535]);
+    palette images come back expanded to RGB.
+
+    CRCs are verified per chunk — this decoder double-checks payload
+    integrity the way the reference's zlib inflate implicitly does via its
+    adler32 trailer (MzXMLTags.scala:284-295).
+    """
+    import zlib as _zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(buf[pos + 8 + ln : pos + 12 + ln], "big")
+        if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if interlace:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if depth not in (8, 16) or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth/color {depth}/{color}")
+    channels = _PNG_CHANNELS[color]
+    bpp = channels * (depth // 8)          # filter stride, bytes
+    stride = width * bpp                   # scanline payload, bytes
+    raw = _zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(height):
+        row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        f = row[0]
+        filt = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if f == 0:
+            recon = filt
+        elif f == 1:  # Sub — per residue class mod bpp it's a running sum
+            recon = filt.copy()
+            for k in range(bpp):
+                recon[k::bpp] = np.cumsum(recon[k::bpp]) % 256
+        elif f == 2:  # Up
+            recon = (filt + prev) % 256
+        elif f == 3:  # Average — sequential in x
+            recon = filt.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + (a + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — sequential in x
+            recon = filt.copy()
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (recon[x] + _paeth(a, int(prev[x]), c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = recon
+        prev = recon
+    flat = out.astype(np.uint8).tobytes()
+    if depth == 16:
+        px = np.frombuffer(flat, dtype=">u2").astype(np.float64)
+    else:
+        px = np.frombuffer(flat, dtype=np.uint8).astype(np.float64)
+    px = px.reshape(height, width, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0].astype(np.int64)].astype(np.float64)
+    return px, width, height
+
+
+def _png_feature(buf: bytes, dim: int = 4) -> list[float]:
+    """Per-channel pixel means (zero-padded to ``dim``) from a real decode."""
+    px, _w, _h = decode_png(buf)
+    means = [round(float(px[:, :, c].mean()), 6) for c in range(px.shape[2])]
+    return (means + [0.0] * dim)[:dim]
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib as _zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (_zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def png_encode(raster: np.ndarray, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal PNG writer (8-bit, gray/RGB/RGBA) for fixtures and tests.
+
+    Row ``r`` is written with filter type ``r % 5`` so a decode exercises
+    ALL FIVE unfilter paths — the encode direction of each filter is a
+    direct (vectorized) difference, the decode direction is the sequential
+    inverse in ``decode_png``."""
+    import zlib as _zlib
+
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    bpp = channels
+    rows = raster.reshape(height, width * channels).astype(np.int64)
+    prev = np.zeros(width * channels, dtype=np.int64)
+    scan = bytearray()
+    for r in range(height):
+        cur = rows[r]
+        f = r % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        scan += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# --- PNG fixture generator (q71): real-codec output, SQL-predictable ------
+PNG_FIX_W, PNG_FIX_H = 16, 8  # RGB8 → 384 samples/payload
+PNG_FIX_N = 64                # fixture rows (doc_id < N)
+
+
+def png_fixture_media(df: DataFrame, n: int = PNG_FIX_N) -> DataFrame:
+    """Deterministic RGB8 PNG payloads whose flat sample ``s`` of doc ``d``
+    is the pure arithmetic function ``(d*31 + s*7) % 256`` — same value
+    function as the PNM fixture, so the q71 SQL oracle predicts the REAL
+    ``decode_png`` per-channel means with no image library on either side.
+    Rows cycle through all five PNG filter types (``png_encode``), making
+    the oracle match contingent on every unfilter path being correct.
+    Payload bytes are built executor-side in ``mapInPandas``."""
+    ids = df.select("doc_id").filter(F.col("doc_id") < n)
+    w, h = PNG_FIX_W, PNG_FIX_H
+    s = np.arange(w * h * 3, dtype=np.int64)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                png_encode(((int(d) * 31 + s * 7) % 256).astype(np.uint8), w, h, 3)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image/png"] * len(payloads),
                     "payload": payloads,
                 }
             )

@@ -718,7 +718,7 @@ _DRIVER_PRIORITY = [
     "q16_salted_count", "q17_group_collect",
     "q32_isotope_match", "q33_band_score",
     # tier 2 — NEW in round 5 (never driver-checked)
-    # (inserted by the round-5 registration block below, kept explicit here)
+    "q71_png_codec",
     # tier 3 — checked in r03 AND r04
     "q18_ppm_filter", "q19_duration_seconds", "q20_token_counts",
     "q21_quality_scores", "q22_lang_id", "q23_fingerprint",

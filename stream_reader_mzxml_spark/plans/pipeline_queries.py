@@ -1388,3 +1388,50 @@ def q70_wav_codec(spark, sf_dir):
             F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
         ).alias("feature_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — the REAL PNG codec, driver-green (round 5; VERDICT r4 item 3):
+# deterministic RGB8 PNG payloads (flat sample s of doc d = (d*31 + s*7) %
+# 256, rows cycling through ALL FIVE scanline filter types, zlib-compressed
+# + CRC'd executor-side in mapInPandas) flow through
+# featurize(decode_stub=False) → decode_png (inflate → unfilter) — and the
+# oracle predicts the decoded per-channel means ANALYTICALLY (channel =
+# s % 3), no image library on either engine. n_bytes varies with zlib
+# output so the projection drops it (unlike q31b/q70's fixed-size payloads).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q71_png_codec",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {multimodal.PNG_FIX_N}
+    ),
+    sam AS (
+      SELECT i.doc_id, u.s, (i.doc_id * 31 + u.s * 7) % 256 AS v
+      FROM ids i CROSS JOIN (
+        SELECT unnest(generate_series(
+          0, {multimodal.PNG_FIX_W * multimodal.PNG_FIX_H * 3 - 1})) AS s
+      ) u
+    ),
+    ch AS (
+      SELECT doc_id, s % 3 AS c, round_even(avg(v), 6) AS m
+      FROM sam GROUP BY doc_id, s % 3
+    )
+    SELECT doc_id, 'image/png' AS media_type,
+           string_agg(printf('%.6f', m), ';' ORDER BY c) || ';0.000000'
+             AS feature_str
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q71_png_codec(spark, sf_dir):
+    media = multimodal.png_fixture_media(_t(spark, sf_dir, "documents"))
+    feat = multimodal.featurize(media, decode_stub=False)
+    return feat.select(
+        "doc_id",
+        "media_type",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
+        ).alias("feature_str"),
+    )

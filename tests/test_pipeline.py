@@ -1453,3 +1453,92 @@ class TestWavCodec:
             s = np.arange(samples.size, dtype=np.int64)
             exp = ((r.doc_id * 131 + s * 17) % 65536) - 32768
             assert samples.reshape(-1).tolist() == exp.astype(float).tolist()
+
+
+class TestPngCodec:
+    """Round-5 PNG codec: inflate + all five unfilter paths, CRC, variants."""
+
+    def test_roundtrip_all_filters(self):
+        # png_encode cycles filter type r % 5 → ≥5 rows exercises them all
+        rng = np.random.default_rng(7)
+        for w, h, ch in [(16, 8, 3), (5, 7, 1), (9, 11, 4), (1, 6, 3)]:
+            raster = rng.integers(0, 256, size=h * w * ch).astype(np.uint8)
+            px, W, H = multimodal.decode_png(multimodal.png_encode(raster, w, h, ch))
+            assert (W, H) == (w, h)
+            assert np.array_equal(px.astype(np.uint8).reshape(-1), raster)
+
+    @staticmethod
+    def _chunked(ihdr_tail, scan, extra=b""):
+        import zlib
+
+        m = multimodal
+        return (
+            m._PNG_SIG
+            + m._png_chunk(b"IHDR", ihdr_tail)
+            + extra
+            + m._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + m._png_chunk(b"IEND", b"")
+        )
+
+    def test_16bit_grayscale(self):
+        w, h = 3, 4
+        vals = (np.arange(w * h) * 1000 % 65536).astype(">u2")
+        rows = vals.reshape(h, w)
+        scan = bytearray()
+        prev = np.zeros(w * 2, dtype=np.int64)
+        for r in range(h):  # alternate None / Up filters
+            rb = np.frombuffer(rows[r].tobytes(), dtype=np.uint8).astype(np.int64)
+            if r % 2 == 0:
+                scan += bytes([0]) + rb.astype(np.uint8).tobytes()
+            else:
+                scan += bytes([2]) + ((rb - prev) % 256).astype(np.uint8).tobytes()
+            prev = rb
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+        px, W, H = multimodal.decode_png(self._chunked(ihdr, scan))
+        assert np.array_equal(px.reshape(-1), vals.astype(np.float64))
+
+    def test_palette_expansion(self):
+        m = multimodal
+        pal = np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 8, 7]], dtype=np.uint8
+        )
+        idx = np.array([0, 1, 2, 3, 3, 2, 1, 0], dtype=np.uint8).reshape(4, 2)
+        scan = bytearray()
+        for r in range(4):
+            scan += bytes([0]) + idx[r].tobytes()
+        ihdr = (2).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+        px, W, H = m.decode_png(
+            self._chunked(ihdr, scan, extra=m._png_chunk(b"PLTE", pal.tobytes()))
+        )
+        assert px.shape == (4, 2, 3)
+        assert np.array_equal(px[0, 0], [255.0, 0.0, 0.0])
+        assert np.array_equal(px[1, 1], [9.0, 8.0, 7.0])  # idx row1 = [2, 3]
+        assert np.array_equal(px[3, 0], [0.0, 255.0, 0.0])  # idx row3 = [1, 0]
+
+    def test_crc_corruption_detected(self):
+        buf = bytearray(
+            multimodal.png_encode(np.zeros(16 * 8 * 3, dtype=np.uint8), 16, 8, 3)
+        )
+        buf[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            multimodal.decode_png(bytes(buf))
+
+    def test_rejects_garbage_and_interlace(self):
+        with pytest.raises(ValueError):
+            multimodal.decode_png(b"not a png")
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+        with pytest.raises(ValueError, match="interlaced"):
+            multimodal.decode_png(self._chunked(ihdr, bytearray(b"\x00" * 14)))
+
+    def test_featurize_real_png_decode(self, spark):
+        # distributed non-stub decode matches the local decoder exactly
+        raster = ((np.arange(2 * 2 * 3) * 11 + 3) % 256).astype(np.uint8)
+        pay = multimodal.png_encode(raster, 2, 2, 3)
+        media = spark.createDataFrame(
+            [(1, "image/png", bytearray(pay), (len(pay), 2, 2))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        got = multimodal.featurize(media, decode_stub=False).collect()[0]
+        assert got.feature == multimodal._png_feature(pay)
+        px = raster.reshape(2, 2, 3).astype(np.float64)
+        assert got.feature[:3] == [round(float(px[:, :, c].mean()), 6) for c in range(3)]
