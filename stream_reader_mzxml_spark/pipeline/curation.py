@@ -22,7 +22,7 @@ the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_reader_mzxml_spark.pipeline.text import (
@@ -248,7 +248,9 @@ def training_manifest(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
+def curation_gates(
+    df: DataFrame, text_col: str = "text", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """The scan-only half of ``curate`` — quality, language and PII verdicts
     as ONE stateless projection, with first-failing-gate attribution over
     just those gates. This is the ingest-time pre-filter a streaming
@@ -260,6 +262,7 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     base = df.select(
         "doc_id",
+        *passthrough,
         quality_score_col(t).alias("quality_score"),
         pred_lang_col(t).alias("pred_lang"),
         has_pii_col(t).alias("has_pii_surface"),
@@ -272,6 +275,7 @@ def curation_gates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return base.select(
         "doc_id",
+        *passthrough,
         "quality_score",
         "pred_lang",
         "has_pii_surface",
@@ -329,3 +333,116 @@ def holdout_split(
         .otherwise(F.lit("train"))
     )
     return base.select(id_col, key_col, "draw_ppm", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-time manifest (round 5; VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_verdicts(
+    deduped: DataFrame, totals: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The shared verdict projection of the ingest manifest: curation gates
+    (stateless scan exprs) + the mixture keep test against PRE-DECIDED
+    per-source totals. One fused projection + one broadcast stream-static
+    join — no stateful operator, so the same code runs on a stream and on
+    its batch twin (the row-for-row proof in tests/test_streaming.py).
+
+    The mixture decision replicates ``mixing.mixture_sample(totals=...)``
+    exactly (same h32 draw, same product-free BIGINT keep test) — pinned
+    against it by test; it is inlined here because composing the two
+    projections as a join would be a stream-stream join, which append mode
+    cannot do without a second watermark."""
+    from stream_reader_mzxml_spark.pipeline.mixing import (
+        MIX_RES,
+        MIX_TARGET_TOKENS,
+        _ws_tokens,
+    )
+    from stream_reader_mzxml_spark.pipeline.text import h32
+
+    g = curation_gates(deduped, text_col, passthrough=("source", "event_time", text_col))
+    m = g.join(
+        F.broadcast(totals.select("source", F.col("src_tokens").cast("long").alias("src_tokens"))),
+        ["source"],
+        "left",
+    )
+    prio = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(MIX_RES))
+    budget = MIX_TARGET_TOKENS * MIX_RES
+    src = F.coalesce(F.col("src_tokens"), F.lit(0).cast("long"))
+    # exact BIGINT div, as in mixture_sample (expr form: `div` is not a
+    # Column operator)
+    sampled = (src == 0) | (
+        prio
+        < F.expr(
+            f"(CAST({budget} AS BIGINT) + coalesce(src_tokens, 0L) - 1L) "
+            "div greatest(coalesce(src_tokens, 0L), 1L)"
+        )
+    )
+    keep_gates = F.col("keep") == 1
+    return m.select(
+        "doc_id",
+        "source",
+        "event_time",
+        _ws_tokens(text_col).alias("n_tokens"),
+        "quality_score",
+        "pred_lang",
+        "has_pii_surface",
+        F.col("keep").alias("keep_gates"),
+        "drop_reason",
+        src.alias("src_tokens"),
+        sampled.cast("int").alias("sampled"),
+        (keep_gates & sampled).cast("int").alias("selected"),
+    )
+
+
+def streaming_manifest(
+    stream: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Ingest-time training manifest — the streaming-safe subset of
+    ``training_manifest`` running per-arrival, append-mode:
+
+      1. exact content dedup within the watermark horizon
+         (``dropDuplicatesWithinWatermark`` on the md5 digest — state is
+         O(docs per horizon), the only stateful stage)
+      2. curation gates — stateless scan projection
+      3. mixture sampling against PRE-DECIDED per-source totals (broadcast
+         stream-static join; how mixture rates are actually set for an
+         ingest stream — yesterday's totals, a planning run, or a quota)
+
+    The corpus-state stages (near-dup CC, repetition, global packing) are
+    inherently batch and stay in ``training_manifest`` — at 10^12 scale
+    those run as periodic compaction jobs over the ingested table while
+    THIS plan decides, at arrival time, what enters it. Emits one row per
+    first-seen document with full verdict attribution; its batch twin
+    (``ingest_manifest_batch``) is proven row-for-row equal on the same
+    fixed input in tests/test_streaming.py.
+    """
+    h = F.md5(F.col(text_col))
+    dd = (
+        stream.withWatermark("event_time", watermark)
+        .withColumn("content_h", h)
+        .dropDuplicatesWithinWatermark(["content_h"])
+    )
+    return _ingest_verdicts(dd, totals, text_col)
+
+
+def ingest_manifest_batch(
+    docs: DataFrame, totals: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Batch twin of ``streaming_manifest`` on a finite input: first
+    occurrence per content digest (min event_time, doc_id tie-break — the
+    arrival-order keeper a single-pass stream selects), then the same
+    fused verdict projection."""
+    h = F.md5(F.col(text_col)).alias("content_h")
+    w = docs.select("*", h).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("content_h").orderBy("event_time", "doc_id")
+        ),
+    )
+    dd = w.filter(F.col("_rk") == 1).drop("_rk")
+    return _ingest_verdicts(dd, totals, text_col)

@@ -18,6 +18,10 @@ def h32_py(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
     (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
@@ -1542,3 +1546,159 @@ class TestPngCodec:
         assert got.feature == multimodal._png_feature(pay)
         px = raster.reshape(2, 2, 3).astype(np.float64)
         assert got.feature[:3] == [round(float(px[:, :, c].mean()), 6) for c in range(3)]
+
+
+class TestSimhashPackedLanes:
+    """Round-5 q27 width experiment: 3 counters per BIGINT lane (20+1 agg
+    columns) must produce BIT-IDENTICAL signatures to the 60-column form."""
+
+    def test_packed_equals_unpacked_signatures(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tf = (
+            docs.select("doc_id", F.explode(dedup.words(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("doc_id", "tf", dedup.h60(F.col("w")).alias("h"))
+        )
+        a = {
+            r.doc_id: r.sim
+            for r in dedup.simhash_signatures(tf, dedup.SIMHASH_BITS, packed=True).collect()
+        }
+        b = {
+            r.doc_id: r.sim
+            for r in dedup.simhash_signatures(tf, dedup.SIMHASH_BITS, packed=False).collect()
+        }
+        assert a == b and len(a) == docs.count()
+
+    def test_tie_bit_set_like_signed_form(self, spark):
+        # a doc whose word set makes 2*S_j == T exactly must set bit j (the
+        # signed form's s_j >= 0 includes zero) in BOTH forms
+        rows = [(1, "aa bb"), (2, "aa aa bb bb cc cc dd dd")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        tf = (
+            df.select("doc_id", F.explode(dedup.words(F.col("text"))).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("doc_id", "tf", dedup.h60(F.col("w")).alias("h"))
+        )
+        for packed in (True, False):
+            sigs = {
+                r.doc_id: r.sim
+                for r in dedup.simhash_signatures(tf, dedup.SIMHASH_BITS, packed=packed).collect()
+            }
+            # independent recompute in python
+            import collections
+
+            for doc_id, text in rows:
+                cnt = collections.Counter(text.split())
+                t_total = sum(cnt.values())
+                want = 0
+                for j in range(dedup.SIMHASH_BITS):
+                    s_j = sum(
+                        c for w, c in cnt.items()
+                        if (h60_py(w) >> j) & 1
+                    )
+                    if 2 * s_j >= t_total:
+                        want |= 1 << j
+                assert sigs[doc_id] == want, (packed, doc_id)
+
+
+@pytest.mark.spark
+class TestStreamingManifest:
+    """Round-5 ingest-time manifest: watermark dedup + gates + pre-decided
+    mixture, append-mode, row-for-row equal to its batch twin."""
+
+    def _rows(self):
+        base = [
+            (
+                i,
+                f"s{i % 3}",
+                " ".join(f"w{(i * 7 + j) % 23}" for j in range((i % 11) + 2))
+                + (" john@example.com" if i % 13 == 0 else ""),
+                f"2024-01-01 00:00:{i % 50:02d}",
+            )
+            for i in range(60)
+        ]
+        # re-ingestion duplicates: same doc, same text, later arrival —
+        # must be dropped by the watermark dedup on BOTH sides
+        dups = [(i, s, t, "2024-01-01 00:02:00") for (i, s, t, _) in base[:20]]
+        return base, dups
+
+    def test_row_for_row_vs_batch_twin(self, spark, tmp_path):
+        import uuid
+
+        from stream_reader_mzxml_spark.pipeline import curation, mixing
+
+        base, dups = self._rows()
+        schema = "doc_id BIGINT, source STRING, text STRING, event_time STRING"
+        to_df = lambda rows: spark.createDataFrame(rows, schema).withColumn(
+            "event_time", F.to_timestamp("event_time")
+        )
+        df_base, df_dups = to_df(base), to_df(dups)
+        totals = (
+            df_base.select("source", mixing._ws_tokens("text").alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("src_tokens"))
+        )
+
+        src = str(tmp_path / "manifest_stream")
+        # two files, written in arrival order: originals then re-ingestions
+        df_base.coalesce(1).write.parquet(src)
+        df_dups.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, source STRING, text STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"manifest_{uuid.uuid4().hex[:8]}"
+        q = (
+            curation.streaming_manifest(stream, totals)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(
+            map(
+                tuple,
+                curation.ingest_manifest_batch(
+                    df_base.unionByName(df_dups), totals
+                ).collect(),
+            )
+        )
+        assert got == exp
+        # the dedup stage actually fired: 60 first-seen rows, not 80
+        assert len(got) == 60
+        # verdict variety: both kept and dropped rows exist at each stage
+        sel = [r[-1] for r in got]
+        gates = [r[7] for r in got]
+        assert 0 < sum(sel) < len(sel)
+        assert 0 < sum(gates) <= len(gates)
+
+    def test_verdicts_match_mixture_operator(self, spark):
+        # the inlined mixture decision must equal mixture_sample(totals=...)
+        from stream_reader_mzxml_spark.pipeline import curation, mixing
+
+        base, _ = self._rows()
+        df = spark.createDataFrame(
+            base, "doc_id BIGINT, source STRING, text STRING, event_time STRING"
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        totals = (
+            df.select("source", mixing._ws_tokens("text").alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("src_tokens"))
+        )
+        man = {
+            r["doc_id"]: r["sampled"]
+            for r in curation.ingest_manifest_batch(df, totals).collect()
+        }
+        mix = {
+            r["doc_id"]: r["sampled"]
+            for r in mixing.mixture_sample(df, totals=totals).collect()
+        }
+        assert man == mix
