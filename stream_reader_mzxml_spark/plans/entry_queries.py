@@ -720,6 +720,7 @@ _DRIVER_PRIORITY = [
     # tier 2 — NEW in round 5 (never driver-checked)
     "q71_png_codec",
     "q72_mzxml_ingest",
+    "q73_ingest_manifest",
     # tier 3 — checked in r03 AND r04
     "q18_ppm_filter", "q19_duration_seconds", "q20_token_counts",
     "q21_quality_scores", "q22_lang_id", "q23_fingerprint",

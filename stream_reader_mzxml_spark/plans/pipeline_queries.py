@@ -1491,3 +1491,129 @@ def q72_mzxml_ingest(spark, sf_dir):
             ).cast("int").alias("sum_mz0_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — streaming ingest-time manifest, batch twin (round 5; VERDICT r4
+# item 5): first-arrival content dedup → curation gates → mixture keep test
+# against pre-decided per-source totals, composed as
+# curation.ingest_manifest_batch. This is the exact plan streaming_manifest
+# runs per-arrival (proven row-for-row equal on a stream in
+# tests/test_pipeline.py::TestStreamingManifest); registering the batch twin
+# gives the composition a driver value oracle. event_time is derived
+# deterministically from doc_id (documents has no arrival column at sf
+# scale); output carries it as epoch seconds.
+# ---------------------------------------------------------------------------
+def _q73_sql() -> str:
+    from stream_reader_mzxml_spark.pipeline import curation as _cur
+    from stream_reader_mzxml_spark.pipeline import mixing as _mix
+    from stream_reader_mzxml_spark.pipeline.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n             ".join(
+        "length(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    maxh = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN hits_{lang} = {maxh} AND {maxh} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    sw_en = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, source, text,
+             1704067200 + doc_id % 86400 AS event_epoch
+      FROM documents
+    ),
+    ded AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY event_epoch, doc_id) AS rk
+      FROM d0
+    ),
+    dd AS (SELECT doc_id, source, text, event_epoch FROM ded WHERE rk = 1),
+    w AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws, length(text) AS nc
+      FROM dd
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN length(ws) < 5 THEN 0.0
+                  WHEN (nc - (length(ws) - 1)) / length(ws) < 2.0 THEN 0.25
+                  ELSE round(
+                    least(1.0, (length(list_filter(ws, x ->
+                        list_contains([{sw_en}], x))) / length(ws)) * 4.0) * 0.5
+                    + least(1.0, length(ws) / 24.0) * 0.5, 6)
+             END AS quality_score
+      FROM w
+    ),
+    lh AS (
+      SELECT doc_id,
+             {hits}
+      FROM w
+    ),
+    l AS (SELECT doc_id, {pred} AS pred_lang FROM lh),
+    pii AS (
+      SELECT doc_id,
+             (length(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) > 0)::INT
+               AS has_pii_surface
+      FROM dd
+    ),
+    tot AS (
+      SELECT source, sum({_WS_TOKS})::BIGINT AS src_tokens
+      FROM documents GROUP BY 1
+    )
+    SELECT dd.doc_id, dd.source, dd.event_epoch,
+           {_WS_TOKS.replace('text', 'dd.text')} AS n_tokens,
+           q.quality_score, l.pred_lang, pii.has_pii_surface,
+           (NOT (q.quality_score < {_cur.MIN_QUALITY}
+                 OR pii.has_pii_surface = 1))::INT AS keep_gates,
+           CASE WHEN q.quality_score < {_cur.MIN_QUALITY} THEN 'quality'
+                WHEN pii.has_pii_surface = 1 THEN 'pii'
+           END AS drop_reason,
+           tot.src_tokens,
+           CASE WHEN ({_H32.format(x="dd.doc_id::VARCHAR")} % {_mix.MIX_RES})
+                     * tot.src_tokens
+                     < {_mix.MIX_TARGET_TOKENS} * {_mix.MIX_RES}
+                THEN 1 ELSE 0 END AS sampled,
+           ((NOT (q.quality_score < {_cur.MIN_QUALITY}
+                  OR pii.has_pii_surface = 1))
+            AND ({_H32.format(x="dd.doc_id::VARCHAR")} % {_mix.MIX_RES})
+                * tot.src_tokens
+                < {_mix.MIX_TARGET_TOKENS} * {_mix.MIX_RES})::INT AS selected
+    FROM dd
+    JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN pii USING (doc_id)
+    JOIN tot ON dd.source = tot.source
+    """
+
+
+@_register("q73_ingest_manifest", _q73_sql())
+def q73_ingest_manifest(spark, sf_dir):
+    from stream_reader_mzxml_spark.pipeline import curation, mixing
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "event_time",
+        F.timestamp_seconds(F.lit(1704067200) + F.pmod("doc_id", F.lit(86400))),
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum(mixing._ws_tokens("text")).alias("src_tokens")
+    )
+    out = curation.ingest_manifest_batch(docs, totals)
+    return out.select(
+        "doc_id",
+        "source",
+        F.unix_timestamp("event_time").alias("event_epoch"),
+        "n_tokens",
+        "quality_score",
+        "pred_lang",
+        "has_pii_surface",
+        "keep_gates",
+        "drop_reason",
+        "src_tokens",
+        "sampled",
+        "selected",
+    )
