@@ -394,7 +394,9 @@ def _recorded_evidence() -> dict:
     alongside the sf0.1 walls, instead of leaving them only in BASELINE.md."""
     out: dict = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    ss = os.path.join(root, "SCALE_SHAPE_r4.json")
+    ss = os.path.join(root, "SCALE_SHAPE_r5.json")
+    if not os.path.exists(ss):
+        ss = os.path.join(root, "SCALE_SHAPE_r4.json")
     if os.path.exists(ss):
         with open(ss) as fh:
             d = json.load(fh)
@@ -405,7 +407,9 @@ def _recorded_evidence() -> dict:
             for name, scales in d.get("family", {}).items()
         }
         out["scale_shape"]["q54_rounds"] = d.get("q54_rounds", {})
-    sc = os.path.join(root, "SCALING_r4.json")
+    sc = os.path.join(root, "SCALING_r5.json")
+    if not os.path.exists(sc):
+        sc = os.path.join(root, "SCALING_r4.json")
     if os.path.exists(sc):
         with open(sc) as fh:
             d = json.load(fh)
@@ -600,7 +604,7 @@ def main() -> None:
         result["pinned_cpus"] = args.pin
         # record for _recorded_evidence() so plain bench runs carry it
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING_r4.json"), "w") as fh:
+                               "SCALING_r5.json"), "w") as fh:
             json.dump(result, fh, indent=1)
     else:
         result = bench_once(
