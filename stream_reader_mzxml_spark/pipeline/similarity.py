@@ -16,6 +16,7 @@ Dot products are ordered left-folds (bit-identical to the oracle's ordered
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +143,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     stride: int = IVF_STRIDE,
     nprobe: int = IVF_NPROBE,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF-style ANN top-k: centroid-partitioned candidate search.
 
@@ -175,32 +177,72 @@ def ivf_topk(
             ).alias("carr")
         )
     )
-    corpus = (
-        _with_norm(emb, id_col, "n_id", "vn", "nn")
-        .crossJoin(carr)
-        .withColumn(
-            "cluster", _argsorted_clusters(F.col("vn"), F.col("nn"), F.col("carr"))[0]["cid"]
+    if assign == "arrow":
+        # Arrow-kernel assignment (round 5): the expression fold is
+        # O(n·C·dim) in the INTERPRETED higher-order evaluator, and C grows
+        # with n at fixed stride — measured 122-157 s at the 30× corpus
+        # (ANN_RECALL_r5.json) with ~95% of wall in assignment. The numpy
+        # form is one (B,dim)×(dim,C) matmul per Arrow batch: same
+        # candidate semantics (cos desc, cid asc tie-break via stable
+        # argsort over cid-ascending centroid columns), ~40× less wall at
+        # 30×. Centroid matrix rides the closure (C×dim floats — half a MB
+        # at 30×; a k-means codebook stays driver-small by construction).
+        # q49 keeps assign="expr": its DuckDB oracle replicates the exact
+        # fold arithmetic, and near-tie argmax flips between fold-order
+        # and pairwise-sum float rounding would be oracle noise.
+        crows = sorted(
+            cents.select("cid", "cv", "cnorm").collect(), key=lambda r: r["cid"]
         )
-        .drop("carr")
-    )
-    probes = (
-        _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
-        .crossJoin(carr)
-        .withColumn(
-            "cluster",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        _argsorted_clusters(F.col("vp"), F.col("np"), F.col("carr")),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["cid"],
-                )
-            ),
+        cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+        cmat = np.array([r["cv"] for r in crows], dtype=np.float64)
+        cnorms = np.array([r["cnorm"] for r in crows], dtype=np.float64)
+
+        @F.pandas_udf("array<bigint>")
+        def _topcids(vn: pd.Series, nn: pd.Series) -> pd.Series:
+            V = np.array(list(vn), dtype=np.float64)
+            cos = (V @ cmat.T) / (np.asarray(nn, dtype=np.float64)[:, None] * cnorms[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series([cids[row].tolist() for row in order])
+
+        corpus = (
+            _with_norm(emb, id_col, "n_id", "vn", "nn")
+            .withColumn("_tc", _topcids(F.col("vn"), F.col("nn")))
+            .withColumn("cluster", F.element_at("_tc", 1))
+            .drop("_tc")
         )
-        .drop("carr")
-    )
+        probes = (
+            _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
+            .withColumn("_tc", _topcids(F.col("vp"), F.col("np")))
+            .withColumn("cluster", F.explode(F.slice("_tc", 1, nprobe)))
+            .drop("_tc")
+        )
+    else:
+        corpus = (
+            _with_norm(emb, id_col, "n_id", "vn", "nn")
+            .crossJoin(carr)
+            .withColumn(
+                "cluster", _argsorted_clusters(F.col("vn"), F.col("nn"), F.col("carr"))[0]["cid"]
+            )
+            .drop("carr")
+        )
+        probes = (
+            _with_norm(emb.filter(F.col(id_col) < n_probes), id_col, "p_id", "vp", "np")
+            .crossJoin(carr)
+            .withColumn(
+                "cluster",
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            _argsorted_clusters(F.col("vp"), F.col("np"), F.col("carr")),
+                            1,
+                            nprobe,
+                        ),
+                        lambda s: s["cid"],
+                    )
+                ),
+            )
+            .drop("carr")
+        )
     cand = probes.join(corpus, ["cluster"]).filter(F.col("p_id") != F.col("n_id"))
     cos = F.round(_cosine(F.col("vp"), F.col("vn"), F.col("np"), F.col("nn")), 6)
     w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), F.asc("n_id"))

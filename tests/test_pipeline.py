@@ -1702,3 +1702,20 @@ class TestStreamingManifest:
             for r in mixing.mixture_sample(df, totals=totals).collect()
         }
         assert man == mix
+
+
+@pytest.mark.spark
+class TestIvfArrowAssign:
+    def test_arrow_assign_equals_expr(self, spark, sf_dir):
+        # round-5 scale fix: numpy-matmul centroid assignment must produce
+        # the SAME top-k rows as the expression-fold form (same tie-break:
+        # cos desc, cid asc via stable argsort over cid-ascending columns)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = sorted(map(tuple, similarity.ivf_topk(emb, n_probes=5, k=10).collect()))
+        b = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(emb, n_probes=5, k=10, assign="arrow").collect(),
+            )
+        )
+        assert a == b and len(a) > 0
