@@ -1719,3 +1719,29 @@ class TestIvfArrowAssign:
             )
         )
         assert a == b and len(a) > 0
+
+
+@pytest.mark.spark
+class TestLshProbeBits:
+    def test_pb2_dominates_pb1(self, spark):
+        # the ±2-bit probe set is a superset of the ±1-bit set, so per-rank
+        # cosines can only improve and row counts can only grow
+        rng = np.random.RandomState(9)
+        vecs = rng.standard_normal((60, similarity.DIM)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id INT, embedding ARRAY<FLOAT>",
+        )
+        pb1 = similarity.lsh_ann_topk(df, n_probes=3, k=5).collect()
+        pb2 = similarity.lsh_ann_topk(df, n_probes=3, k=5, probe_bits=2).collect()
+        for p in range(3):
+            c1 = [r.cosine for r in sorted(pb1, key=lambda r: r.rank) if r.p_id == p]
+            c2 = [r.cosine for r in sorted(pb2, key=lambda r: r.rank) if r.p_id == p]
+            assert len(c2) >= len(c1)
+            assert all(two >= one for two, one in zip(c2, c1))
+        # matched bucket stays within hamming ≤ 2 of the probe's own bucket
+        planes = similarity.hyperplanes()
+        v = vecs.astype(np.float64)
+        buckets = ((v @ planes.T) >= 0).astype(int) @ (1 << np.arange(similarity.N_PLANES))
+        for r in pb2:
+            assert bin(int(buckets[r.p_id]) ^ int(r.bucket)).count("1") <= 2
