@@ -464,3 +464,104 @@ class TestStatefulKillResume:
         )
         assert len(exp) > 100
         assert got == exp
+
+
+@pytest.mark.spark
+class TestStreamingManifestExactlyOnce:
+    """Round-5: the ingest-time manifest through the exactly-once sink with
+    a mid-stream kill — the dedup state (dropDuplicatesWithinWatermark)
+    must restore from checkpoint so resume neither re-emits first-seen
+    docs nor loses in-flight ones."""
+
+    def test_kill_resume_manifest(self, spark, tmp_path):
+        from stream_reader_mzxml_spark.pipeline import curation, mixing
+        from stream_reader_mzxml_spark.streaming.sink import (
+            read_output,
+            start_exactly_once,
+        )
+
+        base = [
+            (
+                i,
+                f"s{i % 4}",
+                # u{i} keeps every base text unique: the only content dups
+                # are the explicit re-ingestions, which arrive strictly
+                # later — so stream first-arrived == batch min-event-time
+                f"u{i} " + " ".join(f"w{(i * 5 + j) % 31}" for j in range((i % 13) + 2)),
+                f"2024-01-01 00:{(i // 60) % 60:02d}:{i % 60:02d}",
+            )
+            for i in range(600)
+        ]
+        dups = [(i, s, t, "2024-01-01 01:00:00") for (i, s, t, _) in base[:200]]
+        schema = "doc_id BIGINT, source STRING, text STRING, event_time STRING"
+        to_df = lambda rows: spark.createDataFrame(rows, schema).withColumn(
+            "event_time", F.to_timestamp("event_time")
+        )
+        df_base, df_dups = to_df(base), to_df(dups)
+        totals = (
+            df_base.select("source", mixing._ws_tokens("text").alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("src_tokens"))
+        )
+        src = str(tmp_path / "manifest_eo_src")
+        # 12 base files in arrival order, then 4 dup files
+        df_base.repartition(12).write.parquet(src)
+        df_dups.repartition(4).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, source STRING, text STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # dups are re-ingested 1 h after the originals; the dedup horizon
+        # must cover that gap or their state legitimately expires
+        manifest = curation.streaming_manifest(stream, totals, watermark="2 hours")
+        out_dir = str(tmp_path / "manifest_eo_out")
+        ckpt = str(tmp_path / "manifest_eo_ckpt")
+
+        q = start_exactly_once(
+            manifest, out_dir, ckpt, token_col=None,
+            trigger={"processingTime": "1 second"},
+        )
+        deadline = time.time() + 120
+        done = []
+        while time.time() < deadline:
+            done = [
+                d
+                for d in os.listdir(out_dir)
+                if d.startswith("batch_id=")
+                and os.path.exists(os.path.join(out_dir, d, "_COMMITTED"))
+            ] if os.path.isdir(out_dir) else []
+            if len(done) >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        assert len(done) >= 2, "never committed 2 batches before kill"
+
+        stream2 = (
+            spark.readStream.schema(
+                "doc_id BIGINT, source STRING, text STRING, event_time TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q2 = start_exactly_once(
+            curation.streaming_manifest(stream2, totals, watermark="2 hours"),
+            out_dir, ckpt, token_col=None,
+        )
+        q2.awaitTermination(300)
+
+        got = read_output(spark, out_dir).drop("batch_id")
+        exp = curation.ingest_manifest_batch(
+            df_base.unionByName(df_dups), totals
+        )
+        # exactly-once + dedup-state restore: one row per first-seen content —
+        # all 600 unique base docs survive, all 200 re-ingestions collapse
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, exp.collect()))
+        assert len(e) == 600
+        assert len(g) == len(set(g)) == len(e)
+        assert g == e
