@@ -721,6 +721,8 @@ _DRIVER_PRIORITY = [
     "q71_png_codec",
     "q72_mzxml_ingest",
     "q73_ingest_manifest",
+    "q74_image_resize",
+    "q75_frame_sample",
     # tier 3 — checked in r03 AND r04
     "q18_ppm_filter", "q19_duration_seconds", "q20_token_counts",
     "q21_quality_scores", "q22_lang_id", "q23_fingerprint",

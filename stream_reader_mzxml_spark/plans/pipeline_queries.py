@@ -1617,3 +1617,122 @@ def q73_ingest_manifest(spark, sf_dir):
         "sampled",
         "selected",
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — REAL image resize over the PNM fixture (round 5): the deterministic
+# P6 payloads (pixel s of doc d = (d*31 + s*7) % 256) decode via decode_pnm
+# and box-average 16x8 → 8x4 in resize_images — and the oracle recomputes
+# each OUTPUT pixel analytically as the mean of its 2x2 source block. Two
+# stats pin the result: plain per-channel means (scale check) and
+# position-weighted sums (weight = flat output index + 1 — a transposed,
+# flipped, or mis-strided resize shifts ch_wsum even where ch_mean is
+# invariant). All arithmetic is exact in float64 on both engines (quarters
+# times small ints), so the 6-decimal rounding has no tie ambiguity.
+# ---------------------------------------------------------------------------
+_RZ_W, _RZ_H = multimodal.PNM_FIX_W // 2, multimodal.PNM_FIX_H // 2
+
+
+@_register(
+    "q74_image_resize",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {multimodal.PNM_FIX_N}
+    ),
+    grid AS (
+      SELECT y.y, x.x, c.c
+      FROM (SELECT unnest(generate_series(0, {_RZ_H - 1})) AS y) y
+      CROSS JOIN (SELECT unnest(generate_series(0, {_RZ_W - 1})) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    ),
+    px AS (
+      SELECT i.doc_id, g.y, g.x, g.c,
+        (  (i.doc_id*31 + (((2*g.y)*{multimodal.PNM_FIX_W} + 2*g.x)*3 + g.c)*7) % 256
+         + (i.doc_id*31 + (((2*g.y)*{multimodal.PNM_FIX_W} + 2*g.x + 1)*3 + g.c)*7) % 256
+         + (i.doc_id*31 + (((2*g.y + 1)*{multimodal.PNM_FIX_W} + 2*g.x)*3 + g.c)*7) % 256
+         + (i.doc_id*31 + (((2*g.y + 1)*{multimodal.PNM_FIX_W} + 2*g.x + 1)*3 + g.c)*7) % 256
+        ) / 4.0 AS v
+      FROM ids i CROSS JOIN grid g
+    ),
+    ch AS (
+      SELECT doc_id, c,
+             round_even(avg(v), 6) AS m,
+             round_even(sum(v * (y*{_RZ_W} + x + 1)), 6) AS ws
+      FROM px GROUP BY doc_id, c
+    )
+    SELECT doc_id, 'image/ppm' AS media_type,
+           {_RZ_W} AS width, {_RZ_H} AS height,
+           string_agg(printf('%.6f', m), ';' ORDER BY c) AS mean_str,
+           string_agg(printf('%.6f', ws), ';' ORDER BY c) AS wsum_str
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q74_image_resize(spark, sf_dir):
+    media = multimodal.pnm_fixture_media(_t(spark, sf_dir, "documents"))
+    rz = multimodal.resize_images(media, _RZ_W, _RZ_H, method="box")
+    fmt = lambda col: F.array_join(
+        F.transform(col, lambda x: F.format_string("%.6f", x)), ";"
+    )
+    return rz.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        fmt("ch_mean").alias("mean_str"),
+        fmt("ch_wsum").alias("wsum_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — REAL video frame-sampling over the raw-DIB AVI fixture (round 5):
+# deterministic RIFF/AVI payloads (RGB sample s of frame f of doc d =
+# (d*31 + f*13 + s*7) % 256, packed through the genuine DIB raster rules —
+# bottom-up BGR rows, 4-byte stride padding — executor-side in mapInPandas)
+# decode via decode_avi and sample every 3rd frame in frame_sample — and
+# the oracle predicts each sampled frame's per-channel means ANALYTICALLY
+# (channel = s % 3), no video library on either engine. One row per
+# (doc, sampled frame): frames 0, 3, 6, 9 of 10.
+# ---------------------------------------------------------------------------
+_VID_SAMPLES = multimodal.VID_FIX_W * multimodal.VID_FIX_H * 3
+
+
+@_register(
+    "q75_frame_sample",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {multimodal.VID_FIX_N}
+    ),
+    fs AS (
+      SELECT unnest(generate_series(0, {multimodal.VID_FIX_FRAMES - 1}, 3)) AS f
+    ),
+    sam AS (
+      SELECT i.doc_id, fs.f, u.s,
+             (i.doc_id*31 + fs.f*13 + u.s*7) % 256 AS v
+      FROM ids i CROSS JOIN fs CROSS JOIN (
+        SELECT unnest(generate_series(0, {_VID_SAMPLES - 1})) AS s
+      ) u
+    ),
+    ch AS (
+      SELECT doc_id, f, s % 3 AS c, round_even(avg(v), 6) AS m
+      FROM sam GROUP BY doc_id, f, s % 3
+    )
+    SELECT doc_id, f AS frame_idx,
+           {multimodal.VID_FIX_FRAMES} AS n_frames,
+           {multimodal.VID_FIX_W} AS width, {multimodal.VID_FIX_H} AS height,
+           string_agg(printf('%.6f', m), ';' ORDER BY c) AS feature_str
+    FROM ch GROUP BY doc_id, f
+    """,
+)
+def q75_frame_sample(spark, sf_dir):
+    media = multimodal.avi_fixture_media(_t(spark, sf_dir, "documents"))
+    sampled = multimodal.frame_sample(media, every_k=3)
+    return sampled.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n_frames",
+        "width",
+        "height",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ";"
+        ).alias("feature_str"),
+    )

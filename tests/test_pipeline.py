@@ -1745,3 +1745,117 @@ class TestLshProbeBits:
         buckets = ((v @ planes.T) >= 0).astype(int) @ (1 << np.arange(similarity.N_PLANES))
         for r in pb2:
             assert bin(int(buckets[r.p_id]) ^ int(r.bucket)).count("1") <= 2
+
+
+class TestAviCodec:
+    """decode_avi goldens: hand-built RIFF/AVI raw-DIB payloads, no video
+    library — the round-5 frame-sample path (q75)."""
+
+    @staticmethod
+    def _frames(d=7, nf=None, w=None, h=None):
+        nf = nf or multimodal.VID_FIX_FRAMES
+        w, h = w or multimodal.VID_FIX_W, h or multimodal.VID_FIX_H
+        s = np.arange(w * h * 3, dtype=np.int64).reshape(h, w, 3)
+        return np.stack([(d * 31 + f * 13 + s * 7) % 256 for f in range(nf)])
+
+    def test_avi_roundtrip(self):
+        frames = self._frames()
+        out, fps = multimodal.decode_avi(multimodal.avi_encode(frames))
+        assert fps == multimodal.VID_FIX_FPS
+        assert out.shape == frames.shape
+        assert (out == frames).all()
+
+    def test_dib_raster_rules_are_real(self):
+        # bottom-up + BGR + stride padding: w=6 rows are 18 bytes padded
+        # to 20; first stored byte is the BLUE sample of the BOTTOM-LEFT px
+        frame = self._frames(nf=1)[0]
+        packed = multimodal._dib_pack(frame.astype(np.uint8))
+        h, w = frame.shape[:2]
+        assert len(packed) == 20 * h
+        assert packed[0] == frame[h - 1, 0, 2]
+        assert packed[18:20] == b"\x00\x00"  # row padding
+        assert (multimodal._dib_unpack(packed, w, h) == frame).all()
+
+    def test_compressed_avi_raises(self):
+        buf = bytearray(multimodal.avi_encode(self._frames(nf=2)))
+        i = buf.find(b"strf") + 8  # chunk body start
+        buf[i + 16 : i + 20] = b"MJPG"  # biCompression
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            multimodal.decode_avi(bytes(buf))
+        with pytest.raises(ValueError):
+            multimodal.decode_avi(b"RIFFxxxxWAVE")
+
+    def test_frame_sample_spark_matches_numpy(self, spark):
+        docs = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+        media = multimodal.avi_fixture_media(docs, n=4)
+        got = {
+            (r.doc_id, r.frame_idx): r
+            for r in multimodal.frame_sample(media, every_k=3).collect()
+        }
+        nf = multimodal.VID_FIX_FRAMES
+        assert set(got) == {(d, f) for d in range(4) for f in range(0, nf, 3)}
+        for (d, f), r in got.items():
+            frames = self._frames(d=d)
+            assert r.n_frames == nf
+            assert (r.width, r.height) == (
+                multimodal.VID_FIX_W, multimodal.VID_FIX_H,
+            )
+            exp = [
+                round(float(frames[f, :, :, c].mean()), 6) for c in range(3)
+            ]
+            assert r.feature == exp
+
+    def test_featurize_routes_raw_video(self, spark):
+        pay = multimodal.avi_encode(self._frames(d=3))
+        media = spark.createDataFrame(
+            [(3, "video/x-msvideo", bytearray(pay), (len(pay), 0, 0))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        (row,) = multimodal.featurize(media, decode_stub=False).collect()
+        assert row.feature == multimodal._avi_feature(pay)
+
+
+class TestResize:
+    """resize_raster / resize_images — the round-5 image-resize path (q74)."""
+
+    def test_box_resize_is_block_mean(self):
+        px = np.arange(16 * 8 * 3, dtype=np.float64).reshape(8, 16, 3)
+        rz = multimodal.resize_raster(px, 8, 4, "box")
+        assert rz.shape == (4, 8, 3)
+        for y in range(4):
+            for x in range(8):
+                blk = px[2 * y : 2 * y + 2, 2 * x : 2 * x + 2]
+                assert np.allclose(rz[y, x], blk.mean(axis=(0, 1)))
+
+    def test_box_requires_integer_factors(self):
+        px = np.zeros((8, 16, 3))
+        with pytest.raises(ValueError, match="integer"):
+            multimodal.resize_raster(px, 7, 4, "box")
+
+    def test_nearest_arbitrary_geometry(self):
+        px = np.arange(5 * 7 * 1, dtype=np.float64).reshape(5, 7, 1)
+        rz = multimodal.resize_raster(px, 3, 2, "nearest")
+        yi, xi = (np.arange(2) * 5) // 2, (np.arange(3) * 7) // 3
+        assert (rz == px[yi][:, xi]).all()
+        # identity: resize to same size returns the same raster
+        assert (multimodal.resize_raster(px, 7, 5, "nearest") == px).all()
+
+    def test_resize_images_spark_both_codecs(self, spark):
+        # PNM and PNG payloads with the SAME value function resize to the
+        # SAME stats — proving the decode → resize path is codec-agnostic
+        docs = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        pnm = multimodal.resize_images(
+            multimodal.pnm_fixture_media(docs, n=3), 8, 4
+        )
+        png = multimodal.resize_images(
+            multimodal.png_fixture_media(docs, n=3), 8, 4
+        )
+        a = {r.doc_id: (r.ch_mean, r.ch_wsum) for r in pnm.collect()}
+        b = {r.doc_id: (r.ch_mean, r.ch_wsum) for r in png.collect()}
+        assert a == b and len(a) == 3
+        # wsum pins geometry: recompute doc 0 channel 0 by hand
+        s = np.arange(16 * 8 * 3, dtype=np.int64)
+        px = ((0 * 31 + s * 7) % 256).astype(np.float64).reshape(8, 16, 3)
+        rz = multimodal.resize_raster(px, 8, 4, "box")
+        wts = np.arange(1, 33, dtype=np.float64).reshape(4, 8)
+        assert a[0][1][0] == round(float((rz[:, :, 0] * wts).sum()), 6)
