@@ -66,6 +66,7 @@ SPECTRUM_SCHEMA = T.StructType(
                         T.StructField("value", T.DoubleType(), True),
                         T.StructField("precursor_intensity", T.DoubleType(), True),
                         T.StructField("precursor_charge", T.IntegerType(), True),
+                        T.StructField("precursor_scan_num", T.IntegerType(), True),
                         T.StructField("activation_method", T.StringType(), True),
                     ]
                 )
@@ -114,6 +115,7 @@ def _scan_row(path: str, elem) -> dict:
                     "value": float(txt) if txt else None,
                     "precursor_intensity": _fattr(child, "precursorIntensity"),
                     "precursor_charge": _iattr(child, "precursorCharge"),
+                    "precursor_scan_num": _iattr(child, "precursorScanNum"),
                     "activation_method": child.get("activationMethod"),
                 }
             )
@@ -234,3 +236,38 @@ def precursor_mz_match(
         & (p["precursor_intensity"] > F.lit(float(precursor_intensity_min))),
     )
     return df.filter((F.size("precursor") > 0) & pred)
+
+
+def precursor_mz_report(
+    df: DataFrame,
+    mz: float,
+    precursor_intensity_min: float = 5000.0,
+    ppm_precision: float = 5.0,
+) -> DataFrame:
+    """``precursorMz_example.sc`` end-to-end — the reference's example
+    PROGRAM composed over the ingested Spectrum table:
+
+      SpectrumRequest(file).precursorMz(mz, intensityMin)   (:24)
+        .map(_.precursorMz).filter(_.isDefined)             (:25-28)
+        .through(formatPrecursorMz)                         (:15-22, 29)
+
+    One line per matching scan, rendering the HEAD precursor
+    (``p.head.value / .precursorIntensity / .precursorScanNum``,
+    precursorMz_example.sc:18-19) in the script's exact sentence shape.
+    Numbers use explicit %.6f / %.1f (the documented q67-style deviation:
+    Scala ``Double.toString`` shortest-repr is not portable across
+    engines). Stream order = scan order, so ``scan_num`` rides along as
+    the row identity; one stateless scan-project, zero shuffles,
+    streaming-safe like the other fused program forms."""
+    hit = precursor_mz_match(df, mz, precursor_intensity_min, ppm_precision)
+    head = F.col("precursor")[0]
+    return hit.select(
+        "path",
+        "scan_num",
+        F.format_string(
+            "Precursor %.6f with precursorIntensity %.1f and precursorScanNum %d",
+            head["value"],
+            head["precursor_intensity"],
+            head["precursor_scan_num"],
+        ).alias("line"),
+    )

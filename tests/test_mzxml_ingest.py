@@ -31,6 +31,7 @@ from stream_reader_mzxml_spark.sources.mzxml import (
     decode_spectra,
     ms_level,
     precursor_mz_match,
+    precursor_mz_report,
     read_mzxml,
 )
 
@@ -76,6 +77,11 @@ def _oracle_scans(path: str) -> list[dict]:
                         "intensity": (
                             float(ch.getAttribute("precursorIntensity"))
                             if ch.hasAttribute("precursorIntensity")
+                            else None
+                        ),
+                        "scan_num": (
+                            int(ch.getAttribute("precursorScanNum"))
+                            if ch.hasAttribute("precursorScanNum")
                             else None
                         ),
                     }
@@ -330,3 +336,59 @@ class TestGlucosinolateProgramOnRealFile:
         assert sorted(got) == sorted(want)
         if kw:  # the relaxed parameterization must be non-empty
             assert len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# the reference PROGRAM (precursorMz_example.sc) end-to-end on the real file
+# ---------------------------------------------------------------------------
+
+
+def _oracle_precursor_report(scans, mz, intensity_min, ppm=5.0):
+    """precursorMz_example.sc:15-29 re-derived from the Scala: one line per
+    matching scan, head precursor's value/intensity/scanNum interpolated."""
+    out = {}
+    for s in scans:
+        if not any(
+            abs((mz - p["value"]) / mz) * 1e6 <= ppm
+            and p["intensity"] is not None
+            and p["intensity"] > intensity_min
+            for p in s["precursors"]
+        ):
+            continue
+        h = s["precursors"][0]
+        out[s["scan_num"]] = (
+            f"Precursor {h['value']:.6f} with precursorIntensity "
+            f"{h['intensity']:.1f} and precursorScanNum {h['scan_num']}"
+        )
+    return out
+
+
+class TestPrecursorReportProgram:
+    """precursorMz_example.sc (the reference's fourth example script) as a
+    composed program over the REAL LTQ file: request → isDefined filter →
+    formatPrecursorMz render, row-for-row vs the independent minidom
+    oracle. Numbers use the documented %.6f/%.1f deviation from Scala
+    Double.toString shortest-repr."""
+
+    def test_report_matches_oracle(self, ingested, oracle_ltq):
+        ltq = ingested.filter(F.col("path") == LTQ)
+        # the script's exact call (288.93, 5000) + a low-threshold
+        # parameterization so the equality is proven non-vacuously
+        for mz, imin in ((288.93, 5000.0), (288.935028076172, 100.0)):
+            got = {
+                r["scan_num"]: r["line"]
+                for r in precursor_mz_report(ltq, mz, imin).collect()
+            }
+            assert got == _oracle_precursor_report(oracle_ltq, mz, imin)
+        assert len(_oracle_precursor_report(oracle_ltq, 288.935028076172, 100.0)) > 0
+
+    def test_precursor_scan_num_ingested(self, ingested, oracle_ltq):
+        # the new Spectrum field round-trips the attribute for every scan
+        got = {
+            r["scan_num"]: [p["precursor_scan_num"] for p in r["precursor"]]
+            for r in ingested.filter(F.col("path") == LTQ)
+            .select("scan_num", "precursor")
+            .collect()
+        }
+        for s in oracle_ltq:
+            assert got[s["scan_num"]] == [p["scan_num"] for p in s["precursors"]]

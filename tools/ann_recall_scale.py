@@ -96,6 +96,7 @@ def main(out_path: str = "ANN_RECALL_r5.json"):
         rec["brute_wall_sec"] = round(time.monotonic() - t0, 2)
         for name, fn in (
             ("lsh_multiprobe", lambda e: similarity.lsh_ann_topk(e, n_probes=N_PROBES, k=K)),
+            ("lsh_multiprobe_pb2", lambda e: similarity.lsh_ann_topk(e, n_probes=N_PROBES, k=K, probe_bits=2)),
             ("lsh_single", lambda e: similarity.lsh_ann_topk(e, n_probes=N_PROBES, k=K, multi_probe=False)),
             ("ivf_nprobe2", lambda e: similarity.ivf_topk(e, n_probes=N_PROBES, k=K)),
         ):
@@ -131,6 +132,7 @@ def main(out_path: str = "ANN_RECALL_r5.json"):
         for name, fn in (
             ("brute", lambda e: similarity.cosine_topk(e, n_probes=N_PROBES, k=k_plant)),
             ("lsh_multiprobe", lambda e: similarity.lsh_ann_topk(e, n_probes=N_PROBES, k=k_plant)),
+            ("lsh_multiprobe_pb2", lambda e: similarity.lsh_ann_topk(e, n_probes=N_PROBES, k=k_plant, probe_bits=2)),
             ("ivf_nprobe2", lambda e: similarity.ivf_topk(e, n_probes=N_PROBES, k=k_plant)),
         ):
             got = {}
