@@ -77,3 +77,14 @@ class TestPlanShapes:
         plan = _plan(spark, "q58_sequence_packing")
         for args in re.findall(r"Arguments: \[.*windowspecdefinition\(([^)]*)\)", plan):
             assert args.split(",")[0].strip(), "unpartitioned window"
+
+    @pytest.mark.parametrize(
+        "name", ["q74_image_resize", "q75_frame_sample"]
+    )
+    def test_multimodal_ops_zero_shuffle(self, spark, name):
+        # decode/resize/frame-sample must stay a scan → mapInPandas chain:
+        # payload bytes never shuffle (an Exchange here means media blobs
+        # ride the network — the 100-TB regression)
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert plan.count("MapInPandas") >= 1, name
