@@ -1859,3 +1859,48 @@ class TestResize:
         rz = multimodal.resize_raster(px, 8, 4, "box")
         wts = np.arange(1, 33, dtype=np.float64).reshape(4, 8)
         assert a[0][1][0] == round(float((rz[:, :, 0] * wts).sum()), 6)
+
+
+class TestMultimodalStreaming:
+    """Multimodal decode at INGEST time: frame_sample / resize_images are
+    stateless mapInPandas projections, so they must run unchanged as
+    streaming queries and emit the batch rows row-for-row — the shape a
+    media-ingest pipeline uses (decode at arrival, features into the
+    table, payload bytes never shuffled or retained)."""
+
+    def _roundtrip(self, spark, tmp_path, op, tag):
+        import uuid
+
+        docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        src = str(tmp_path / f"media_stream_{tag}")
+        docs.repartition(4).write.parquet(src)
+        stream_docs = (
+            spark.readStream.schema("doc_id BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"mm_{tag}_{uuid.uuid4().hex[:8]}"
+        q = (
+            op(stream_docs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+        exp = sorted(map(tuple, op(docs).collect()))
+        assert got == exp and len(exp) > 0
+
+    def test_frame_sample_streams_row_for_row(self, spark, tmp_path):
+        op = lambda d: multimodal.frame_sample(
+            multimodal.avi_fixture_media(d, n=8), every_k=3
+        )
+        self._roundtrip(spark, tmp_path, op, "avi")
+
+    def test_resize_streams_row_for_row(self, spark, tmp_path):
+        op = lambda d: multimodal.resize_images(
+            multimodal.pnm_fixture_media(d, n=8), 8, 4
+        )
+        self._roundtrip(spark, tmp_path, op, "rz")
