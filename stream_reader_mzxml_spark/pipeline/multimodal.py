@@ -203,9 +203,10 @@ def featurize(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     for b in pdf["payload"]
                 ]
             else:
-                # real-decode path: PNM images decode in pure numpy (no
-                # pillow needed); every other media type still needs a codec
-                # library this container lacks
+                # real-decode path: PNM/PNG images, RIFF/WAVE PCM audio and
+                # raw-DIB RIFF/AVI video all decode in pure numpy; only
+                # compressed (ffmpeg-class) codecs remain out of reach in
+                # this container
                 feats = []
                 for mt, b in zip(pdf["media_type"], pdf["payload"]):
                     if b is None:
