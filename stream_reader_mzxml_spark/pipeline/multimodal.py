@@ -584,14 +584,20 @@ def _dib_pack(frame: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def _dib_unpack(data: bytes, width: int, height: int) -> np.ndarray:
-    """DIB bytes → RGB raster (h, w, 3) float64 — inverse of ``_dib_pack``."""
+def _dib_unpack(
+    data: bytes, width: int, height: int, top_down: bool = False
+) -> np.ndarray:
+    """DIB bytes → RGB raster (h, w, 3) float64 — inverse of ``_dib_pack``.
+
+    ``top_down`` is the negative-``biHeight`` convention: rows are stored
+    first-row-first, so the bottom-up flip is skipped."""
     stride = _dib_stride(width)
     if len(data) != stride * height:
         raise ValueError("DIB frame size does not match geometry")
     rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)
     bgr = rows[:, : width * 3].reshape(height, width, 3)
-    return bgr[::-1, :, ::-1].astype(np.float64)
+    rgb = bgr if top_down else bgr[::-1]
+    return rgb[:, :, ::-1].astype(np.float64)
 
 
 def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
@@ -706,7 +712,10 @@ def decode_avi(buf: bytes) -> tuple[np.ndarray, int]:
         if scale:
             fps = rate // scale
     frames = np.stack(
-        [_dib_unpack(c, width, abs(height)) for c in frame_chunks]
+        [
+            _dib_unpack(c, width, abs(height), top_down=height < 0)
+            for c in frame_chunks
+        ]
     )
     return frames, fps
 

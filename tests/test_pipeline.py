@@ -1776,6 +1776,27 @@ class TestAviCodec:
         assert packed[18:20] == b"\x00\x00"  # row padding
         assert (multimodal._dib_unpack(packed, w, h) == frame).all()
 
+    def test_top_down_dib_negative_height(self):
+        # negative biHeight = rows stored top-down (no bottom-up flip):
+        # the decoded raster must come back identical, not vertically
+        # mirrored
+        frames = self._frames(nf=2)
+        buf = bytearray(multimodal.avi_encode(frames))
+        i = buf.find(b"strf") + 8
+        h = multimodal.VID_FIX_H
+        # rewrite biHeight negative AND re-store each frame top-down
+        buf[i + 8 : i + 12] = (-h).to_bytes(4, "little", signed=True)
+        stride = multimodal._dib_stride(multimodal.VID_FIX_W)
+        pos = 0
+        for f in range(2):
+            pos = buf.find(b"00db", pos) + 8
+            flipped = np.frombuffer(
+                bytes(buf[pos : pos + stride * h]), dtype=np.uint8
+            ).reshape(h, stride)[::-1]
+            buf[pos : pos + stride * h] = flipped.tobytes()
+        out, _ = multimodal.decode_avi(bytes(buf))
+        assert (out == frames).all()
+
     def test_compressed_avi_raises(self):
         buf = bytearray(multimodal.avi_encode(self._frames(nf=2)))
         i = buf.find(b"strf") + 8  # chunk body start
